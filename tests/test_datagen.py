@@ -1,0 +1,67 @@
+"""Deterministic datagen + byte-identical text invariant (no JVM)."""
+
+import numpy as np
+import pandas as pd
+
+from batch3dfier_spark import datagen
+from batch3dfier_spark.functions.geocode import geocode_np
+from batch3dfier_spark.functions.text import extract_text_np
+
+
+def test_pages_deterministic():
+    a = datagen.gen_pages(200)
+    b = datagen.gen_pages(200)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_text_is_extraction_of_html():
+    df = datagen.gen_pages(300)
+    assert (extract_text_np(df["html"]) == df["text"]).all()
+
+
+def test_text_shape():
+    df = datagen.gen_pages(50)
+    t0 = df["text"].iloc[0]
+    assert t0.startswith("p0\n")
+    # every sentence line ends with '.'
+    for ln in t0.split("\n")[1:]:
+        assert ln.endswith(".")
+
+
+def test_lang_distribution():
+    df = datagen.gen_pages(2000)
+    assert set(df["lang"].unique()) <= {"en", "nl", "de", "fr"}
+    assert df["lang"].nunique() == 4
+
+
+def test_geocode_uniform_and_deterministic():
+    df = datagen.gen_pages(3000)
+    t = datagen.REF_TERRITORY
+    x, y = geocode_np(df["url"], df["warc_ts"], t)
+    x2, y2 = geocode_np(df["url"], df["warc_ts"], t)
+    assert (x == x2).all() and (y == y2).all()
+    assert (x >= t.xmin).all() and (x < t.xmax).all()
+    assert (y >= t.ymin).all() and (y < t.ymax).all()
+    # roughly uniform: each quadrant gets 15-35%
+    qx = x > (t.xmin + t.xmax) / 2
+    qy = y > (t.ymin + t.ymax) / 2
+    for m in (qx & qy, qx & ~qy, ~qx & qy, ~qx & ~qy):
+        assert 0.15 < m.mean() < 0.35
+
+
+def test_grid_tile_index():
+    g = datagen.grid_tile_index(datagen.REF_TERRITORY, 4, 3)
+    assert len(g) == 12
+    assert g["gid"].tolist() == list(range(1, 13))
+    t = datagen.REF_TERRITORY
+    assert np.isclose(g["xmin"].min(), t.xmin) and np.isclose(g["xmax"].max(), t.xmax)
+    # tiles partition the territory (areas sum)
+    areas = ((g["xmax"] - g["xmin"]) * (g["ymax"] - g["ymin"])).sum()
+    assert np.isclose(areas, t.area)
+
+
+def test_ref_indexes():
+    tiles = datagen.ref_tile_index()
+    assert tiles["unit"].tolist() == ["25gn1_c1", "25gn1_c2", "25gn1_c3", "25gn1_c4"]
+    assets = datagen.ref_asset_index(unavailable=("25gn1_b",))
+    assert assets["available"].tolist() == [True, False]
