@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark):   flagship pipeline on sf0.001 — geocode the documents
+                table, assign every row to its tile (J1 grid fast path,
+                half-open exactly-one rule), roll up per-tile counts +
+                percentile heights (A1/A3 analogs).
+queries():      one entry per implemented operator from SURVEY.md §2,
+                run by the engine's own operators.
+oracle_sql():   exact DuckDB twins (see batch3dfier_spark/plans/queries.py
+                for the cross-engine determinism rules).
 """
 
 from __future__ import annotations
@@ -16,23 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from batch3dfier_spark.plans import queries as Q
+
+    return Q.q_heights_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from batch3dfier_spark.plans import queries as Q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from batch3dfier_spark.plans import queries as Q
+
+    return Q.oracle_sql()

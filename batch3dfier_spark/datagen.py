@@ -174,17 +174,16 @@ def _body_from_digest(digest: bytes, max_sentences: int) -> str:
     return " ".join(sentences)
 
 
-def gen_pages(
-    n: int,
+def gen_pages_range(
+    lo: int,
+    hi: int,
     n_hosts: int = 100,
     max_sentences: int = 50,
 ) -> pd.DataFrame:
-    """The pages table: (url, warc_ts, html: bytes, text, lang).
-
-    `text` is generated as `extract_text_np(html)` — the byte-identical
-    invariant holds by construction and the engine must reproduce it.
-    """
-    i = np.arange(n, dtype=np.int64)
+    """Rows lo..hi-1 of the pages table — a pure function of the row
+    index, so distributed generation over arbitrary ranges produces the
+    same table as a single sequential pass."""
+    i = np.arange(lo, hi, dtype=np.int64)
     urls = pd.Series([f"https://site{k % n_hosts}.example/page/{k}" for k in i])
     digests = [hashlib.sha256(u.encode("utf-8")).digest() for u in urls]
     langs = pd.Series([_LANGS[d[0] % 4] for d in digests])
@@ -199,6 +198,15 @@ def gen_pages(
     )
 
 
+def gen_pages(n: int, n_hosts: int = 100, max_sentences: int = 50) -> pd.DataFrame:
+    """The pages table: (url, warc_ts, html: bytes, text, lang).
+
+    `text` is generated as `extract_text_np(html)` — the byte-identical
+    invariant holds by construction and the engine must reproduce it.
+    """
+    return gen_pages_range(0, n, n_hosts=n_hosts, max_sentences=max_sentences)
+
+
 def write_pages_parquet(path: str, n: int, **kw) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -206,3 +214,42 @@ def write_pages_parquet(path: str, n: int, **kw) -> None:
     df = gen_pages(n, **kw)
     tbl = pa.Table.from_pandas(df, preserve_index=False)
     pq.write_table(tbl, path)
+
+
+def gen_pages_spark(spark, n: int, out_path: str, n_hosts: int = 1000,
+                    max_sentences: int = 8, partitions: int = 64) -> None:
+    """Distributed corpus generation: spark.range -> mapInPandas over
+    index ranges -> parquet.  Deterministic under any partitioning
+    because gen_pages_range is a pure function of the row index."""
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            # ids from spark.range are contiguous per batch slice; handle
+            # arbitrary sets by chunking contiguous runs
+            splits = np.nonzero(np.diff(ids) != 1)[0] + 1
+            for chunk in np.split(ids, splits):
+                yield gen_pages_range(
+                    int(chunk[0]), int(chunk[-1]) + 1,
+                    n_hosts=n_hosts, max_sentences=max_sentences,
+                )
+
+    (
+        spark.range(0, n, 1, partitions)
+        .mapInPandas(gen, schema=schema)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

@@ -325,7 +325,10 @@ def point_rect_distance(x: np.ndarray, y: np.ndarray, rects: np.ndarray) -> np.n
     r = np.asarray(rects, dtype=np.float64)
     dx = np.maximum(np.maximum(r[None, :, 0] - x, x - r[None, :, 2]), 0.0)
     dy = np.maximum(np.maximum(r[None, :, 1] - y, y - r[None, :, 3]), 0.0)
-    return np.hypot(dx, dy)
+    # sqrt(dx*dx + dy*dy) rather than hypot: mul/add/sqrt are correctly
+    # rounded IEEE ops, so SQL oracles (SQRT(dx*dx + dy*dy)) reproduce
+    # the result bit-for-bit; hypot's internal scaling would not.
+    return np.sqrt(dx * dx + dy * dy)
 
 
 # ---------------------------------------------------------------------------

