@@ -34,6 +34,8 @@ __all__ = [
     "verified_near_dups",
     "simhash_signatures",
     "shingle_set",
+    "ngram_jaccard_pairs",
+    "embedding_near_dups",
 ]
 
 MERSENNE = (1 << 61) - 1
@@ -254,3 +256,103 @@ def _fnv64(b: bytes) -> int:
     for byte in b:
         h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = ("lang",),
+    len_block_col: str = "n_chars",
+    len_block_width: int = 64,
+) -> DataFrame:
+    """Word n-gram Jaccard near-dup pairs, entirely JVM-side.
+
+    Blocking (the scale lever): candidate pairs are generated only
+    within (block_cols..., floor(len/len_block_width)) buckets — a
+    shuffle-equi-join on the block key instead of an O(N^2) cross
+    product.  Near-identical docs agree on language and rough length,
+    so the blocks lose almost no recall while cutting the pair count
+    by orders of magnitude; at 100 TB this is the same
+    cheap-filter/expensive-verify funnel as MinHash LSH with the block
+    key playing the band hash.
+
+    Grams are built with higher-order functions (split -> transform/
+    slice/concat_ws -> array_distinct): whole-stage codegen, no
+    Python.  Jaccard = |intersect| / |union| on the distinct gram
+    sets, rounded for cross-engine hash parity.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    blk = F.floor(F.col(len_block_col) / F.lit(len_block_width)).alias("_blk")
+    t = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], blk, grams.alias("_grams")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a._blk") == F.col("b._blk")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a._grams"), F.col("b._grams")))
+    union = F.size(F.array_union(F.col("a._grams"), F.col("b._grams")))
+    jac = F.when(
+        union > 0, F.round(inter.cast("double") / union.cast("double"), 6)
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
+
+    Exact all-pairs scoring with JVM higher-order functions — the
+    correctness baseline and the verify stage of the funnel.  At 100 TB
+    the candidate pairs come from `similarity.hyperplane_signatures`
+    bucket joins (see lsh_ann_topk) and this exact scoring runs only
+    within buckets; the scoring expression is shared either way.
+    """
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(F.col(f"{side}._v"), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(dot / (norm("a") * norm("b")), round_to).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

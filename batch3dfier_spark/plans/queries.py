@@ -413,6 +413,96 @@ SELECT query_id, CAST(rk AS INT) AS rank, cand_id, cosine FROM r WHERE rk <= 5
 """
 
 
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs, blocked on (lang, len/64) —
+    pure JVM higher-order functions (operators/dedup.py)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+SQL_DEDUP_NGRAM = r"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars // 64 AS blk,
+         LIST_DISTINCT([ARRAY_TO_STRING(toks[i:i+2], ' ')
+                        FOR i IN RANGE(1, GREATEST(LEN(toks) - 2, 0) + 1)]) AS grams
+  FROM (SELECT doc_id, lang, n_chars,
+               REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks
+        FROM documents)
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(LEN(LIST_INTERSECT(a.grams, b.grams)) * 1.0
+               / NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))), 0), 6)
+           AS jaccard
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs verify stage)."""
+    from ..operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.4)
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(LIST_DOT_PRODUCT(a.v, b.v)
+               / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6)
+           AS cosine
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) -> 16-band LSH -> exact shingle-Jaccard verify.
+    Non-SQL-expressible (numpy signature kernels) -> rows-only driver
+    check; tests/test_dedup.py recomputes signatures + pairs with a
+    pure-python oracle."""
+    from ..operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        verified_near_dups,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidates(sigs)
+    return verified_near_dups(docs, cands, threshold=0.5).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (Arrow-batched numpy).  Rows-only
+    driver check; pytest python-oracle in tests/test_dedup.py."""
+    from ..operators.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 cosine (the scale path of
+    ann_cosine).  Rows-only driver check; recall-vs-brute-force gated
+    in tests/test_similarity.py."""
+    from ..operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_ann_topk(
+        emb, emb.where(F.col("vec_id") % 100 == 0), dim=dim, k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # generic relational surface (S1/A/J/window coverage on the star schema)
 # ---------------------------------------------------------------------------
@@ -525,6 +615,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "percentile_heights": (q_percentile_heights, SQL_PERCENTILE_HEIGHTS),
     "heights_join": (q_heights_join, SQL_HEIGHTS_JOIN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "ann_lsh": (q_ann_lsh, None),
     "textstats": (q_textstats, None),  # sql built lazily below
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
