@@ -504,6 +504,59 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal columns (binary payload + typed metadata; operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media blobs decoded to typed metadata by an Arrow-batched
+    header parse.  Every field is a pure function of doc_id, so DuckDB
+    recomputes the metadata without touching bytes."""
+    from ..operators.multimodal import attach_media, decode_media_meta
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return decode_media_meta(attach_media(docs))
+
+
+_MM_FIELDS = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind,
+         CAST(64 + (CAST('0x' || h[1:4] AS BIGINT) % 960) AS INT) AS width,
+         CAST(64 + (CAST('0x' || h[5:8] AS BIGINT) % 960) AS INT) AS height,
+         CAST(1 + (CAST('0x' || h[9:10] AS BIGINT) % 4) AS INT) AS channels,
+         CAST(CASE WHEN doc_id % 3 = 0
+              THEN 2 + (CAST('0x' || h[11:12] AS BIGINT) % 7)
+              ELSE 1 END AS INT) AS n_frames
+  FROM (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+"""
+
+SQL_MULTIMODAL_META = f"""
+SELECT doc_id, kind, width, height, channels, n_frames,
+       CAST(10 + 32 * n_frames AS BIGINT) AS n_bytes
+FROM ({_MM_FIELDS})
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling of video/image blobs (UDTF-style row
+    expansion inside one mapInPandas pass; byte offsets oracle-checked,
+    frame bytes themselves gated in tests/test_multimodal.py)."""
+    from ..operators.multimodal import attach_media, frame_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return frame_sample(attach_media(docs), every=2).select(
+        "doc_id", "frame_idx", "frame_off", "frame_len"
+    )
+
+
+SQL_FRAME_SAMPLE = f"""
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST(10 + fi * 32 AS BIGINT) AS frame_off,
+       CAST(32 AS BIGINT) AS frame_len
+FROM ({_MM_FIELDS}), UNNEST(RANGE(0, n_frames, 2)) AS t(fi)
+"""
+
+
+# ---------------------------------------------------------------------------
 # generic relational surface (S1/A/J/window coverage on the star schema)
 # ---------------------------------------------------------------------------
 
@@ -620,6 +673,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "ann_lsh": (q_ann_lsh, None),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "textstats": (q_textstats, None),  # sql built lazily below
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
