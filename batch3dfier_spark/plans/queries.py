@@ -602,6 +602,71 @@ def q_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): two reused windows + agg,
+    one shuffle on user_id (operators/sessions.py)."""
+    from ..operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30.0)
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(FLOOR(EPOCH(MAX(ts))) - FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS duration_s,
+       ROUND(SUM(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+def q_events_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_window: file-source stream ->
+    watermark -> tumbling window agg -> AvailableNow drain to a memory
+    sink (streaming/events.py).  Complete-mode output must equal the
+    batch aggregation row-for-row — gated by the same SQL oracle."""
+    from ..streaming.events import hourly_counts, read_event_stream, run_stream_to_df
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    return run_stream_to_df(hourly_counts(stream), output_mode="complete")
+
+
+def q_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user cumulative totals; the final emission per user equals the
+    batch groupBy (the memory sink is reduced by max(n_events) so the
+    oracle holds under any micro-batch split)."""
+    from ..streaming.events import read_event_stream, run_stream_to_df, user_running_totals
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    sink = run_stream_to_df(user_running_totals(stream), output_mode="update")
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("sum_value").alias("sum_value"),
+    )
+
+
+SQL_USER_TOTALS_STREAM = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 SQL_TOP_EVENTS = """
 SELECT event_type, CAST(rk AS INT) AS rank, event_id, value
 FROM (
@@ -678,6 +743,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "textstats": (q_textstats, None),  # sql built lazily below
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "events_window_stream": (q_events_window_stream, SQL_EVENTS_WINDOW),
+    "user_totals_stream": (q_user_totals_stream, SQL_USER_TOTALS_STREAM),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "top_events": (q_top_events, SQL_TOP_EVENTS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
 }

@@ -1,0 +1,167 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY.md §2.9: no watermarks, no event
+time, no stateful operators — its 'streaming' is a thread pool over a
+tile queue, batch3dfierapp.py:197-289).  This module is the engine's
+streaming surface, built so every streaming pipeline has a batch twin
+with identical results:
+
+- `hourly_counts`: event-time tumbling window + watermark.  Run with
+  `run_stream_to_df(..., output_mode='complete')` the result equals the
+  batch `q_events_window` aggregation row-for-row.
+- `user_running_totals`: custom stateful operator via
+  applyInPandasWithState — per-user cumulative (count, sum) state,
+  emitted per micro-batch; the last emission per user equals the batch
+  groupBy.
+- late data: rows older than the watermark are dropped in append mode
+  (tests stage multi-file input to advance the watermark between
+  micro-batches).
+
+Scale notes: the window agg shuffles on (window, event_type) — the
+same partial-agg + final-agg plan as batch; state rows are keyed by
+user and live in the state store partitioned by
+spark.sql.shuffle.partitions, so hot keys are bounded by key-space not
+file layout.  File-source backpressure via maxFilesPerTrigger.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "read_event_stream",
+    "hourly_counts",
+    "user_running_totals",
+    "run_stream_to_df",
+]
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over parquet events.  `path` is a directory
+    that receives new files; a single parquet file (read-only test
+    fixtures) is staged into a temp directory via symlink, since the
+    file source requires a directory."""
+    if os.path.isfile(path):
+        stage = tempfile.mkdtemp(prefix="evstream_")
+        os.symlink(path, os.path.join(stage, os.path.basename(path)))
+        path = stage
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def hourly_counts(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling 1-hour event-time window x event_type: count + avg.
+    Identical aggregate expressions to the batch twin
+    (plans/queries.q_events_window) so complete-mode output matches it
+    exactly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+_TOTALS_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+_STATE_SCHEMA = "n bigint, s double"
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    cumulative (event count, value sum), one emission per key per
+    micro-batch.  State is two scalars per user — O(keys), not O(rows).
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_df(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain a streaming DataFrame with Trigger.AvailableNow into a
+    memory sink and return the sink as a batch DataFrame (the batch-twin
+    comparison harness; also how the driver-contract streaming queries
+    materialize)."""
+    spark = stream_df.sparkSession
+    name = "s" + uuid.uuid4().hex[:12]
+    ckpt = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"ckpt_{name}"
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
