@@ -212,6 +212,8 @@ def write_pages_parquet(path: str, n: int, **kw) -> None:
     import pyarrow.parquet as pq
 
     df = gen_pages(n, **kw)
+    # Spark's vectorized parquet reader rejects NANOS timestamps
+    df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
     tbl = pa.Table.from_pandas(df, preserve_index=False)
     pq.write_table(tbl, path)
 
