@@ -42,6 +42,17 @@ MERSENNE = (1 << 61) - 1
 _NUM_PERM_DEFAULT = 64
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """CPU-bound Arrow UDF stages need >= core-count partitions; a
+    single small parquet file arrives as ONE partition and would
+    serialize the stage.  At 100 TB inputs have thousands of splits and
+    this is a no-op (rdd.getNumPartitions is metadata-only)."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact near-zero-cost dedup: group by sha2(text); keeper = min id.
     Returns (id, text_sha, group_size, is_dup) — is_dup marks rows to
@@ -126,7 +137,7 @@ def minhash_signatures(
                 sigs[i] = vals.min(axis=1).astype(np.int64)
             yield pd.DataFrame({id_col: out_ids, "signature": list(sigs)})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _ensure_parallel(df.select(id_col, text_col)).mapInPandas(
         sig, schema=f"{id_col} bigint, signature array<bigint>"
     )
 
@@ -211,7 +222,7 @@ def verified_near_dups(
             out["jaccard"] = np.round(jac, 6)
             yield out[out["jaccard"] >= threshold]
 
-    return paired.mapInPandas(
+    return _ensure_parallel(paired).mapInPandas(
         verify, schema="id_a bigint, id_b bigint, jaccard double"
     )
 
@@ -246,7 +257,7 @@ def simhash_signatures(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _ensure_parallel(df.select(id_col, text_col)).mapInPandas(
         sig, schema=f"{id_col} bigint, simhash bigint"
     )
 
@@ -268,56 +279,82 @@ def ngram_jaccard_pairs(
     len_block_col: str = "n_chars",
     len_block_width: int = 64,
 ) -> DataFrame:
-    """Word n-gram Jaccard near-dup pairs, entirely JVM-side.
+    """Word n-gram Jaccard near-dup pairs.
 
-    Blocking (the scale lever): candidate pairs are generated only
-    within (block_cols..., floor(len/len_block_width)) buckets — a
-    shuffle-equi-join on the block key instead of an O(N^2) cross
-    product.  Near-identical docs agree on language and rough length,
-    so the blocks lose almost no recall while cutting the pair count
-    by orders of magnitude; at 100 TB this is the same
-    cheap-filter/expensive-verify funnel as MinHash LSH with the block
-    key playing the band hash.
+    Blocking (the scale lever): candidate pairs exist only within
+    (block_cols..., floor(len/len_block_width)) buckets — ONE shuffle of
+    docs on the block key instead of an O(N^2) cross product.
+    Near-identical docs agree on language and rough length, so the
+    blocks lose almost no recall while cutting the pair count by orders
+    of magnitude; at 100 TB this is the same cheap-filter/expensive-
+    verify funnel as MinHash LSH with the block key playing the band
+    hash.
 
     Grams are built with higher-order functions (split -> transform/
-    slice/concat_ws -> array_distinct): whole-stage codegen, no
-    Python.  Jaccard = |intersect| / |union| on the distinct gram
-    sets, rounded for cross-engine hash parity.
+    slice/concat_ws -> array_distinct): whole-stage codegen, no Python;
+    the within-block all-pairs verification runs in numpy on int64 gram
+    hashes.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # grams are folded to xxhash64 ints before the pair join: Jaccard on
+    # distinct hashes equals Jaccard on distinct strings (64-bit
+    # collisions are ~1e-13 per doc), and int set-intersection is far
+    # cheaper than string comparison in the hot pair loop.  The oracle
+    # intersects the strings directly — counts agree.
     grams = F.when(
         F.size(toks) >= n,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
             )
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     blk = F.floor(F.col(len_block_col) / F.lit(len_block_width)).alias("_blk")
     t = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], blk, grams.alias("_grams")
     )
-    a, b = t.alias("a"), t.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
-        F.col("a._blk") == F.col("b._blk")
-    )
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a._grams"), F.col("b._grams")))
-    union = F.size(F.array_union(F.col("a._grams"), F.col("b._grams")))
-    jac = F.when(
-        union > 0, F.round(inter.cast("double") / union.cast("double"), 6)
-    )
-    return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            jac.alias("jaccard"),
+    # pair + verify per block group: each doc's gram array ships ONCE
+    # (not once per candidate pair), then all-pairs set intersection in
+    # numpy inside the group.  Jaccard is left UNROUNDED: i and u are
+    # exact integers, so one IEEE division gives a bit-identical double
+    # in numpy and in the SQL twin — rounding would only reintroduce
+    # tie-rule mismatches (half-even vs half-up at exact-binary ties
+    # like 1/128).
+    def pair_verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n_docs = len(pdf)
+        if n_docs < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+            )
+        order = np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        grams = [np.sort(np.asarray(g, dtype=np.int64)) for g in pdf["_grams"].iloc[order]]
+        ia, ib, jac = [], [], []
+        for i_a in range(n_docs):
+            ga = grams[i_a]
+            for i_b in range(i_a + 1, n_docs):
+                gb = grams[i_b]
+                inter = np.intersect1d(ga, gb, assume_unique=True).size
+                union = ga.size + gb.size - inter
+                if union and inter / union >= threshold:
+                    ia.append(ids[i_a])
+                    ib.append(ids[i_b])
+                    jac.append(inter / union)
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(ia, dtype="int64"),
+                "id_b": pd.Series(ib, dtype="int64"),
+                "jaccard": pd.Series(jac, dtype="float64"),
+            }
         )
-        .where(F.col("jaccard") >= threshold)
+
+    return t.groupBy(*block_cols, "_blk").applyInPandas(
+        pair_verify, schema="id_a bigint, id_b bigint, jaccard double"
     )
+
+
+QUANT = 1048576.0  # 2^20
 
 
 def embedding_near_dups(
@@ -325,34 +362,61 @@ def embedding_near_dups(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_to: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
-    Exact all-pairs scoring with JVM higher-order functions — the
-    correctness baseline and the verify stage of the funnel.  At 100 TB
-    the candidate pairs come from `similarity.hyperplane_signatures`
-    bucket joins (see lsh_ann_topk) and this exact scoring runs only
-    within buckets; the scoring expression is shared either way.
+    Scoring is EXACT and order-independent by construction: vectors are
+    quantized to integers (round(x * 2^20)); dot products and squared
+    norms are then integer-valued and fit exactly in float64 (64 dims x
+    ~2^40-magnitude products < 2^53), so a numpy matmul, a sequential
+    SQL fold, and any parallel reduction all produce bit-identical
+    cosines — the cross-engine determinism trick that lets BLAS do the
+    heavy lifting while DuckDB recomputes the same values.
+
+    Shape: the candidate matrix is broadcast (one collect of the
+    quantized vectors — fine for the verify stage of the funnel); each
+    partition scores its rows against all higher-id columns in one
+    matmul.  At 100 TB candidates come bucketed from
+    `similarity.hyperplane_signatures` and the same scoring runs per
+    bucket instead of globally.
     """
-    e = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    q = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * F.lit(QUANT)).cast("double"),
+        ).alias("_q"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda side: F.sqrt(
-        F.aggregate(F.col(f"{side}._v"), F.lit(0.0), lambda acc, v: acc + v * v)
-    )
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(dot / (norm("a") * norm("b")), round_to).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+    pdf = q.toPandas().sort_values("_id")
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    M = np.stack(pdf["_q"].to_numpy())  # exact integers in float64
+    norms = np.sqrt((M * M).sum(axis=1))
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((ids, M, norms))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, allM, all_norms = bc.value
+        for pdf_b in batches:
+            if len(pdf_b) == 0:
+                continue
+            my_ids = pdf_b["_id"].to_numpy(dtype=np.int64)
+            myM = np.stack(pdf_b["_q"].to_numpy())
+            my_norms = np.sqrt((myM * myM).sum(axis=1))
+            D = myM @ allM.T  # exact integer dot products
+            # unrounded: all inputs are exact integers, so the IEEE
+            # division is bit-identical to the SQL twin's
+            cos = D / (my_norms[:, None] * all_norms[None, :])
+            ii, jj = np.nonzero(
+                (cos >= threshold) & (my_ids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": my_ids[ii],
+                    "id_b": all_ids[jj],
+                    "cosine": cos[ii, jj],
+                }
+            )
+
+    return _ensure_parallel(q).mapInPandas(
+        score, schema="id_a bigint, id_b bigint, cosine double"
     )

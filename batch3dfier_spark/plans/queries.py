@@ -432,8 +432,8 @@ WITH t AS (
 )
 SELECT id_a, id_b, jaccard FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         ROUND(LEN(LIST_INTERSECT(a.grams, b.grams)) * 1.0
-               / NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))), 0), 6)
+         LEN(LIST_INTERSECT(a.grams, b.grams)) * 1.0
+           / NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))), 0)
            AS jaccard
   FROM t a JOIN t b
     ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
@@ -449,16 +449,22 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold=0.4)
 
 
+# quantize to integers (exact in float64) so the dot products are
+# order-independent — bit-identical between numpy matmul and the SQL
+# fold (see operators/dedup.embedding_near_dups)
 SQL_DEDUP_EMBEDDING = """
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id,
+         LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                        x -> ROUND(x * 1048576.0)) AS q
+  FROM embeddings
+), n AS (
+  SELECT vec_id, q, SQRT(LIST_DOT_PRODUCT(q, q)) AS nrm FROM e
 )
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(LIST_DOT_PRODUCT(a.v, b.v)
-               / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6)
-           AS cosine
-  FROM e a, e b WHERE a.vec_id < b.vec_id
+         LIST_DOT_PRODUCT(a.q, b.q) / (a.nrm * b.nrm) AS cosine
+  FROM n a, n b WHERE a.vec_id < b.vec_id
 ) WHERE cosine >= 0.4
 """
 
