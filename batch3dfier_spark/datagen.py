@@ -187,7 +187,13 @@ def gen_pages_range(
     urls = pd.Series([f"https://site{k % n_hosts}.example/page/{k}" for k in i])
     digests = [hashlib.sha256(u.encode("utf-8")).digest() for u in urls]
     langs = pd.Series([_LANGS[d[0] % 4] for d in digests])
-    warc_ts = pd.Series(pd.to_datetime(_EPOCH) + pd.to_timedelta(i * 137, unit="s"))
+    # offset wraps inside a 190-year window: i*137s overflows the ns
+    # int64 timestamp past ~67M rows, and every corpus generated before
+    # the wrap point (i < ~43.8M) is unchanged by the modulo
+    warc_ts = pd.Series(
+        pd.to_datetime(_EPOCH)
+        + pd.to_timedelta((i * 137) % 6_000_000_000, unit="s")
+    )
     titles = pd.Series([f"p{k}" for k in i])
     bodies = pd.Series([_body_from_digest(d, max_sentences) for d in digests])
     html_str = render_html_np(titles, bodies)

@@ -509,6 +509,56 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style quadtree cell ids (cells.py): Morton-encode each geocoded
+    doc at res 6 plus its res-3 parent — the partition-pruning keys.
+    Vectorized pandas UDFs over the numpy kernels; the oracle unrolls the
+    bit interleave in SQL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..cells import cell_encode, cell_parent
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's signature inference rejects
+    @pandas_udf("long")
+    def enc6(xs, ys):
+        return pd.Series(cell_encode(xs.to_numpy(), ys.to_numpy(), 6, T))
+
+    @pandas_udf("long")
+    def par3(cells):
+        return pd.Series(cell_parent(cells.to_numpy(), 3))
+
+    df = doc_geocode(_docs(spark, sf_dir))
+    out = df.withColumn("cell6", enc6(F.col("x"), F.col("y")))
+    return out.select(
+        "doc_id", "cell6", par3(F.col("cell6")).alias("cell3")
+    )
+
+
+def _morton_sql(col: str, row: str, res: int) -> str:
+    bits = " + ".join(
+        f"(({col} // {1 << b}) % 2) * {1 << (2 * b)} + "
+        f"(({row} // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(res)
+    )
+    return f"({res} * {1 << 58} + {bits})"
+
+
+SQL_CELL_ENCODE = f"""
+WITH g AS (
+  SELECT doc_id,
+         CAST(FLOOR((x - {T.xmin}) / ({T.xmax - T.xmin}) * 64) AS BIGINT) AS c6,
+         CAST(FLOOR((y - {T.ymin}) / ({T.ymax - T.ymin}) * 64) AS BIGINT) AS r6
+  FROM ({GEO_SQL})
+)
+SELECT doc_id,
+       {_morton_sql('LEAST(c6, 63)', 'LEAST(r6, 63)', 6)} AS cell6,
+       {_morton_sql('LEAST(c6, 63) // 8', 'LEAST(r6, 63) // 8', 3)} AS cell3
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns (binary payload + typed metadata; operators/multimodal.py)
 # ---------------------------------------------------------------------------
@@ -744,6 +794,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "ann_lsh": (q_ann_lsh, None),
+    "cell_encode": (q_cell_encode, SQL_CELL_ENCODE),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "textstats": (q_textstats, None),  # sql built lazily below

@@ -22,6 +22,10 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # heap must scale with task slots: allocation-heavy stages (regex
+    # over html strings) at 32 threads on a fixed 8g heap turn into a
+    # GC storm and scale NEGATIVELY from 8 to 32 cores (measured)
+    mem = os.environ.get("SPARK_DRIVER_MEM") or f"{max(8, int(1.5 * cores))}g"
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -29,9 +33,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # smaller scan splits -> several task waves per stage, so one
+        # straggler row group cannot serialize a map stage (64-file
+        # corpora otherwise arrive as exactly one wave at 32 cores)
+        .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
