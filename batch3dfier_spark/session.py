@@ -10,6 +10,7 @@ the local[32] sandbox:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -22,6 +23,10 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # catalog tables (bucketed ingest) go to a scratch warehouse, not cwd
+    warehouse = os.environ.get("SPARK_GRAFT_WAREHOUSE") or os.path.join(
+        tempfile.gettempdir(), f"b3d_warehouse_{os.getpid()}"
+    )
     # heap must scale with task slots: allocation-heavy stages (regex
     # over html strings) at 32 threads on a fixed 8g heap turn into a
     # GC storm and scale NEGATIVELY from 8 to 32 cores (measured)
@@ -41,6 +46,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", warehouse)
+        .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={warehouse}")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

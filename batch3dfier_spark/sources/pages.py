@@ -48,3 +48,34 @@ def ingest_pages(
 
 def read_geocoded(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def ingest_pages_bucketed(
+    spark: SparkSession,
+    in_path: str,
+    table: str,
+    index: TileIndex,
+    territory: Rect,
+    n_buckets: int = 64,
+) -> None:
+    """Like ingest_pages, but writes a bucketed catalog table
+    (bucketBy(tile_gid) + sortBy) — Spark's durable hash-partitioning
+    metadata.  Every later groupBy('tile_gid') / self-join / rollup
+    join-back over this table is SHUFFLE-FREE: the scan reports
+    HashPartitioning(tile_gid) and Catalyst drops the Exchange
+    (asserted in tests/test_bucketed.py).
+
+    This is the 100 TB steady-state layout for per-tile dispatch —
+    the analog of the reference keeping per-tile views permanently
+    materialized over a GiST-indexed table (footprints.py:153-284):
+    pay one clustering shuffle at ingest, never again.
+    """
+    df = spark.read.parquet(in_path)
+    a = assign_tiles(with_geocode(df, territory), index)
+    (
+        a.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "tile_gid")
+        .sortBy("tile_gid")
+        .saveAsTable(table)
+    )

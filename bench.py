@@ -92,7 +92,10 @@ def flagship_queries(spark, pages_path: str):
             feats, key="tile_gid", value="z",
             ground=[0.1, 0.5], roof=[0.9, 0.99], exact=False, round_to=None,
         )
-        return join_heights(feats, h, key="tile_gid")
+        # the rollup is <=1 row/tile (~1M rows, ~50 MB) vs 2M-128M
+        # features: broadcast the agg side so the fact table is never
+        # shuffled for the join-back (same choice at 100 TB / 1e6 tiles)
+        return join_heights(feats, h, key="tile_gid", broadcast_heights=True)
 
     def bench_text_extract():
         # byte-identical re-extraction over the full corpus (JVM regexp)
@@ -252,7 +255,9 @@ def run_scaling_child(cores: int) -> dict:
             feats, key="tile_gid", value="z",
             ground=[0.1, 0.5], roof=[0.9, 0.99], exact=False, round_to=None,
         )
-        return join_heights(feats, h, key="tile_gid")
+        # broadcast the per-tile rollup (<=1M rows) — join-back must not
+        # shuffle the fact table (see flagship_queries.bench_heights_join)
+        return join_heights(feats, h, key="tile_gid", broadcast_heights=True)
 
     timed("agg_join", agg_join)
 
