@@ -33,7 +33,17 @@ def get_spark(
     mem = os.environ.get("SPARK_DRIVER_MEM") or f"{max(8, int(1.5 * cores))}g"
     b = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        # local[N, 4]: allow task retries — local mode defaults to
+        # maxFailures=1, so a single crashed/killed python worker aborts
+        # the whole job (observed on this shared-host VM; on a real
+        # cluster 4 is the standard default)
+        .master(f"local[{cores},4]")
+        # a wedged worker (socket wait, no CPU) would otherwise hang a
+        # stage forever: launch speculative copies of slow tasks
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
