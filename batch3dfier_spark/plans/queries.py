@@ -776,6 +776,88 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------------------
+# raster <-> vector overlay (north_rule capability; center-sampling rule)
+# ---------------------------------------------------------------------------
+
+RASTER_RES = 16
+_PWX = WX / RASTER_RES   # exact binary: 78.125/16
+_PWY = WY / RASTER_RES   # exact binary: 97.65625/16
+_DIAMOND_SQL = (
+    f"ABS(cx - {DIAMOND_CX}) / {DIAMOND_A} + "
+    f"ABS(cy - {DIAMOND_CY}) / {DIAMOND_B} < 1.0"
+)
+
+
+def _diamond_np():
+    import numpy as np
+
+    return np.asarray(DIAMOND_POLY, dtype=np.float64)
+
+
+def q_raster_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster: per-tile extent-mask coverage (res x res center-sampling
+    rasterization of the clip polygon over the tile grid).  The engine
+    runs the vectorized even-odd kernel; the oracle recomputes every
+    pixel center against the diamond closed form."""
+    from ..operators.raster import mask_coverage, rasterize_extent
+
+    masks = rasterize_extent(_grid_index(), _diamond_np(), res=RASTER_RES)
+    mdf = spark.createDataFrame(masks, schema="tile_gid bigint, pix_id bigint")
+    return mask_coverage(mdf, res=RASTER_RES)
+
+
+SQL_RASTER_MASK = f"""
+WITH cells AS (
+  SELECT (r * {GRID_N} + c + 1) AS tile_gid,
+         {T.xmin} + c * {WX} + (pc + 0.5) * {_PWX} AS cx,
+         {T.ymin} + r * {WY} + (pr + 0.5) * {_PWY} AS cy
+  FROM (SELECT UNNEST(RANGE({GRID_N})) AS c), (SELECT UNNEST(RANGE({GRID_N})) AS r),
+       (SELECT UNNEST(RANGE({RASTER_RES})) AS pc), (SELECT UNNEST(RANGE({RASTER_RES})) AS pr)
+)
+SELECT tile_gid, CAST(COUNT(*) AS BIGINT) AS pix_inside,
+       ROUND(COUNT(*) / {float(RASTER_RES * RASTER_RES)}, 6) AS coverage
+FROM cells
+WHERE {_DIAMOND_SQL}
+GROUP BY tile_gid
+"""
+
+
+def q_raster_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster<->vector overlay: features survive iff their pixel is in
+    the extent mask (broadcast semi-join on (tile_gid, pix_id) — the
+    fact table never shuffles)."""
+    from ..operators.raster import overlay_extent_mask, rasterize_extent
+
+    idx = _grid_index()
+    masks = spark.createDataFrame(
+        rasterize_extent(idx, _diamond_np(), res=RASTER_RES),
+        schema="tile_gid bigint, pix_id bigint",
+    )
+    kept = overlay_extent_mask(_assigned(spark, sf_dir), masks, idx.grid,
+                               res=RASTER_RES)
+    return kept.groupBy("tile_gid", "tile_unit").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+SQL_RASTER_OVERLAY = f"""
+SELECT tile_gid, tile_unit, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM (
+  SELECT tile_gid, tile_unit,
+         {T.xmin} + tile_col * {WX}
+           + (LEAST(CAST(FLOOR((x - ({T.xmin} + tile_col * {WX})) / {_PWX}) AS BIGINT),
+                    {RASTER_RES - 1}) + 0.5) * {_PWX} AS cx,
+         {T.ymin} + tile_row * {WY}
+           + (LEAST(CAST(FLOOR((y - ({T.ymin} + tile_row * {WY})) / {_PWY}) AS BIGINT),
+                    {RASTER_RES - 1}) + 0.5) * {_PWY} AS cy
+  FROM ({TILE_SQL})
+)
+WHERE {_DIAMOND_SQL}
+GROUP BY tile_gid, tile_unit
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -805,6 +887,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "top_events": (q_top_events, SQL_TOP_EVENTS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "raster_mask": (q_raster_mask, SQL_RASTER_MASK),
+    "raster_overlay": (q_raster_overlay, SQL_RASTER_OVERLAY),
 }
 REGISTRY["textstats"] = (q_textstats, _sql_textstats())
 
