@@ -31,13 +31,17 @@ def get_spark(
     # over html strings) at 32 threads on a fixed 8g heap turn into a
     # GC storm and scale NEGATIVELY from 8 to 32 cores (measured)
     mem = os.environ.get("SPARK_DRIVER_MEM") or f"{max(8, int(1.5 * cores))}g"
-    b = (
-        SparkSession.builder.appName(app_name)
+    b = SparkSession.builder.appName(app_name)
+    # under spark-submit (gateway env present) the master/deploy mode
+    # comes from the submit command — never override it here
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
         # local[N, 4]: allow task retries — local mode defaults to
         # maxFailures=1, so a single crashed/killed python worker aborts
         # the whole job (observed on this shared-host VM; on a real
         # cluster 4 is the standard default)
-        .master(f"local[{cores},4]")
+        b = b.master(f"local[{cores},4]")
+    b = (
+        b
         # a wedged worker (socket wait, no CPU) would otherwise hang a
         # stage forever: launch speculative copies of slow tasks
         .config("spark.speculation", "true")
