@@ -328,6 +328,17 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def _start_watchdog() -> None:
+    # flaky-host self-healing: see tools/stall_watchdog.py
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from stall_watchdog import start_watchdog
+
+        start_watchdog()
+    except Exception as ex:  # noqa: BLE001 - watchdog is best-effort
+        print(f"# watchdog unavailable: {ex}", file=sys.stderr)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int,
@@ -336,6 +347,7 @@ def main() -> None:
     ap.add_argument("--scaling-child", type=int, default=None)
     ap.add_argument("--no-sf-queries", action="store_true")
     args = ap.parse_args()
+    _start_watchdog()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if args.scaling_child is not None:
         print(json.dumps(run_scaling_child(args.scaling_child)))
