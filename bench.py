@@ -92,10 +92,11 @@ def flagship_queries(spark, pages_path: str):
             feats, key="tile_gid", value="z",
             ground=[0.1, 0.5], roof=[0.9, 0.99], exact=False, round_to=None,
         )
-        # the rollup is <=1 row/tile (~1M rows, ~50 MB) vs 2M-128M
-        # features: broadcast the agg side so the fact table is never
-        # shuffled for the join-back (same choice at 100 TB / 1e6 tiles)
-        return join_heights(feats, h, key="tile_gid", broadcast_heights=True)
+        # at this bench's 2M-page scale the 1M-row rollup is HALF the
+        # fact table — broadcasting it is wrong here (measured: +4 s),
+        # so let AQE pick the join; the scaling corpus (facts >> tiles)
+        # hints broadcast explicitly (see run_scaling_child.agg_join)
+        return join_heights(feats, h, key="tile_gid")
 
     def bench_text_extract():
         # byte-identical re-extraction over the full corpus (JVM regexp)
