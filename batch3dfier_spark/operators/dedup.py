@@ -357,11 +357,20 @@ def ngram_jaccard_pairs(
 QUANT = 1048576.0  # 2^20
 
 
+def _unpack_block(vecs) -> tuple[np.ndarray, np.ndarray]:
+    """list<struct{_id,_q}> Arrow column element -> (ids, matrix)."""
+    ids = np.fromiter((e["_id"] for e in vecs), dtype=np.int64, count=len(vecs))
+    M = np.stack([np.asarray(e["_q"], dtype=np.float64) for e in vecs])
+    return ids, M
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    block_rows: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
@@ -373,12 +382,15 @@ def embedding_near_dups(
     cosines — the cross-engine determinism trick that lets BLAS do the
     heavy lifting while DuckDB recomputes the same values.
 
-    Shape: the candidate matrix is broadcast (one collect of the
-    quantized vectors — fine for the verify stage of the funnel); each
-    partition scores its rows against all higher-id columns in one
-    matmul.  At 100 TB candidates come bucketed from
-    `similarity.hyperplane_signatures` and the same scoring runs per
-    bucket instead of globally.
+    Shape (all-pairs mode, candidates=None): fully distributed block-
+    pair cross scoring — NO driver collect.  Vectors land in
+    ceil(N/block_rows) blocks by id; each of the B(B+1)/2 block pairs
+    is one task holding two packed blocks (executor-side collect_list)
+    and scoring them with a chunked matmul (peak ~= chunk x block_rows
+    doubles).  Total work is O(N^2) — inherent to exact all-pairs; at
+    100 TB pass `candidates` (e.g. bucketed pairs from
+    `similarity.hyperplane_signatures`) and only those pairs are
+    rescored — the cheap-filter/expensive-verify funnel.
     """
     q = embeddings.select(
         F.col(id_col).alias("_id"),
@@ -387,36 +399,85 @@ def embedding_near_dups(
             lambda x: F.round(x * F.lit(QUANT)).cast("double"),
         ).alias("_q"),
     )
-    pdf = q.toPandas().sort_values("_id")
-    ids = pdf["_id"].to_numpy(dtype=np.int64)
-    M = np.stack(pdf["_q"].to_numpy())  # exact integers in float64
-    norms = np.sqrt((M * M).sum(axis=1))
+
+    if candidates is not None:
+        paired = (
+            candidates.select("id_a", "id_b")
+            .join(q.withColumnsRenamed({"_id": "id_a", "_q": "_qa"}), "id_a")
+            .join(q.withColumnsRenamed({"_id": "id_b", "_q": "_qb"}), "id_b")
+        )
+
+        def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_qa"]])
+                B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_qb"]])
+                dots = np.einsum("ij,ij->i", A, B)
+                cos = dots / (
+                    np.sqrt(np.einsum("ij,ij->i", A, A))
+                    * np.sqrt(np.einsum("ij,ij->i", B, B))
+                )
+                out = pdf[["id_a", "id_b"]].copy()
+                out["cosine"] = cos
+                yield out[out["cosine"] >= threshold]
+
+        return _ensure_parallel(paired).mapInPandas(
+            rescore, schema="id_a bigint, id_b bigint, cosine double"
+        )
+
     spark = embeddings.sparkSession
-    bc = spark.sparkContext.broadcast((ids, M, norms))
+    n = q.count()
+    n_blocks = max(1, -(-n // block_rows))
+    blocked = q.withColumn(
+        "_blk", F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int")
+    )
+    packed = blocked.groupBy("_blk").agg(
+        F.collect_list(F.struct("_id", "_q")).alias("_vecs")
+    )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        schema="bi int, bj int",
+    )
+    joined = (
+        block_pairs
+        .join(
+            packed.withColumnsRenamed({"_blk": "bi", "_vecs": "_va"}), "bi"
+        )
+        .join(
+            packed.withColumnsRenamed({"_blk": "bj", "_vecs": "_vb"}), "bj"
+        )
+        .repartition(max(n_blocks * (n_blocks + 1) // 2, 1))
+    )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, allM, all_norms = bc.value
-        for pdf_b in batches:
-            if len(pdf_b) == 0:
-                continue
-            my_ids = pdf_b["_id"].to_numpy(dtype=np.int64)
-            myM = np.stack(pdf_b["_q"].to_numpy())
-            my_norms = np.sqrt((myM * myM).sum(axis=1))
-            D = myM @ allM.T  # exact integer dot products
-            # unrounded: all inputs are exact integers, so the IEEE
-            # division is bit-identical to the SQL twin's
-            cos = D / (my_norms[:, None] * all_norms[None, :])
-            ii, jj = np.nonzero(
-                (cos >= threshold) & (my_ids[:, None] < all_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": my_ids[ii],
-                    "id_b": all_ids[jj],
-                    "cosine": cos[ii, jj],
-                }
-            )
+        chunk = 1024  # bounds the D slice to chunk x block_rows doubles
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a, Ma = _unpack_block(row["_va"])
+                ids_b, Mb = _unpack_block(row["_vb"])
+                norms_a = np.sqrt((Ma * Ma).sum(axis=1))
+                norms_b = np.sqrt((Mb * Mb).sum(axis=1))
+                for lo in range(0, len(ids_a), chunk):
+                    hi = lo + chunk
+                    D = Ma[lo:hi] @ Mb.T  # exact integer dot products
+                    # unrounded: inputs are exact integers, so the IEEE
+                    # division is bit-identical to the SQL twin's
+                    cos = D / (norms_a[lo:hi, None] * norms_b[None, :])
+                    ii, jj = np.nonzero(
+                        (cos >= threshold)
+                        & (ids_a[lo:hi, None] < ids_b[None, :])
+                    )
+                    if len(ii) == 0:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ids_a[lo:hi][ii],
+                            "id_b": ids_b[jj],
+                            "cosine": cos[ii, jj],
+                        }
+                    )
 
-    return _ensure_parallel(q).mapInPandas(
+    return joined.mapInPandas(
         score, schema="id_a bigint, id_b bigint, cosine double"
     )

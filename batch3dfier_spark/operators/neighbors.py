@@ -81,6 +81,26 @@ def tile_neighbors_spark(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
     )
 
 
+def _topk_by_dist_gid(
+    d: np.ndarray, cand_gid: np.ndarray, kk: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic (dist, gid) top-kk per row of a candidate-distance
+    matrix.  REQUIRES candidates in ascending gid order along axis 1:
+    a STABLE argsort by distance then breaks distance ties by gid
+    automatically.  (argpartition would pick an ARBITRARY subset of
+    tied candidates at the kth boundary and lose the smaller gid.)
+    d: (n, m) float64 (np.inf = invalid slot); cand_gid: (n, m) int64.
+    Returns (row_idx, gid, dist), each (n*kk,), sorted (row, dist, gid).
+    """
+    n = d.shape[0]
+    order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+    rows = np.repeat(np.arange(n), kk)
+    flat = order.ravel()
+    dist = d[rows, flat]
+    gid = cand_gid[rows, flat]
+    return rows, gid, dist
+
+
 def knn_tiles(
     df: DataFrame,
     index: TileIndex,
@@ -88,20 +108,37 @@ def knn_tiles(
     x: str = "x",
     y: str = "y",
     keep: tuple[str, ...] = (),
+    dense_max: int = 4096,
 ) -> DataFrame:
     """k nearest tiles per feature point by point-to-rectangle distance
     (ties broken by gid, deterministic).  Output: keep-cols + x, y,
     nn_rank (1-based), nn_gid, nn_unit, nn_dist.
 
     Implementation: the tile index (packed rect bounds) is broadcast;
-    each Arrow batch computes distances vectorized.  For small indexes
-    (<= 4096 tiles) the distance matrix is dense; for larger indexes a
-    grid-ring search bounds candidates.  Either way: no shuffle.
+    each Arrow batch computes distances vectorized; no shuffle.  Three
+    candidate-generation tiers keep memory bounded at the 1e6-tile
+    scale (a dense matrix there would be ~80 GB per 10k-row batch):
+
+    - n_tiles <= dense_max: dense (n_pts, n_tiles) distance matrix.
+    - regular grid: vectorized ring search — every point gets the
+      (2R+1)^2 cell window around its own cell in ONE numpy pass; R
+      doubles only for points whose kth distance exceeds the ring
+      guarantee ``R*min(wx,wy) - e_p`` (e_p = the point's distance to
+      its clamped cell, nonzero only outside the territory; excluded
+      tiles sit >= R cells away, so any tile outside the window is
+      strictly farther than that bound).
+    - irregular large index: points are grouped by a coarse uniform
+      cell (~8 median tile sides); each group queries the broadcast
+      STRtree with an expanding margin m, exact top-k on candidates,
+      escalating while any kth distance exceeds m (tiles outside the
+      queried box are strictly farther than m from every point in the
+      cell).
     """
     spark = df.sparkSession
     rects = index.rects
     gids = index.frame["gid"].to_numpy()
     units = index.frame["unit"].to_numpy()
+    grid = index.grid
     bc = spark.sparkContext.broadcast((rects, gids, units))
     cols = [*keep, x, y]
 
@@ -120,28 +157,155 @@ def knn_tiles(
         ]
     )
 
+    def _emit(pdf: pd.DataFrame, rows: np.ndarray, gid: np.ndarray,
+              dist: np.ndarray, u: np.ndarray, kk: int) -> pd.DataFrame:
+        out = pdf[cols].iloc[rows].reset_index(drop=True)
+        out["nn_rank"] = np.tile(np.arange(1, kk + 1), len(pdf))
+        out["nn_gid"] = gid.astype("int64")
+        # regular_grid/grid_tile_index guarantee frame order == gid
+        # order (row-major 1-based), so unit lookup is gid-1
+        out["nn_unit"] = u[gid - 1]
+        out["nn_dist"] = dist
+        return out
+
+    def _dense_batch(pdf, px, py, r, g, u):
+        og = np.argsort(g, kind="stable")  # gid-ascending candidate order
+        d = point_rect_distance(px, py, r[og])  # (n_pts, n_tiles)
+        kk = min(k, d.shape[1])
+        cand_gid = np.broadcast_to(g[og], d.shape)
+        rows, gid, dist = _topk_by_dist_gid(d, cand_gid, kk)
+        out = pdf[cols].iloc[rows].reset_index(drop=True)
+        out["nn_rank"] = np.tile(np.arange(1, kk + 1), len(pdf))
+        out["nn_gid"] = gid.astype("int64")
+        # gids may be arbitrary in the dense path: map via position
+        pos = {int(gg): i for i, gg in enumerate(g)}
+        out["nn_unit"] = u[[pos[int(gg)] for gg in gid]]
+        out["nn_dist"] = dist
+        return out
+
+    def _grid_ring_batch(pdf, px, py, u):
+        t = grid.territory
+        nx, ny, wx, wy = grid.nx, grid.ny, grid.wx, grid.wy
+        min_w = min(wx, wy)
+        n = len(px)
+        pcol = np.clip(np.floor((px - t.xmin) / wx).astype(np.int64), 0, nx - 1)
+        prow = np.clip(np.floor((py - t.ymin) / wy).astype(np.int64), 0, ny - 1)
+        # e_p: distance from the point to its clamped cell (0 inside)
+        cx0 = t.xmin + pcol * wx
+        cy0 = t.ymin + prow * wy
+        ex = np.maximum(np.maximum(cx0 - px, px - (cx0 + wx)), 0.0)
+        ey = np.maximum(np.maximum(cy0 - py, py - (cy0 + wy)), 0.0)
+        e_p = np.sqrt(ex * ex + ey * ey)
+
+        acc_row: list[np.ndarray] = []
+        acc_gid: list[np.ndarray] = []
+        acc_dist: list[np.ndarray] = []
+        active = np.arange(n)
+        R = max(1, int(np.ceil(np.sqrt(k))))
+        while len(active):
+            offs = np.arange(-R, R + 1)
+            oc, orw = np.meshgrid(offs, offs)
+            oc, orw = oc.ravel(), orw.ravel()
+            ax, ay = px[active], py[active]
+            cc = pcol[active][:, None] + oc[None, :]
+            rr = prow[active][:, None] + orw[None, :]
+            valid = (cc >= 0) & (cc < nx) & (rr >= 0) & (rr < ny)
+            ccc = np.clip(cc, 0, nx - 1)
+            rrc = np.clip(rr, 0, ny - 1)
+            rx0 = t.xmin + ccc * wx
+            ry0 = t.ymin + rrc * wy
+            dx = np.maximum(np.maximum(rx0 - ax[:, None], ax[:, None] - (rx0 + wx)), 0.0)
+            dy = np.maximum(np.maximum(ry0 - ay[:, None], ay[:, None] - (ry0 + wy)), 0.0)
+            d = np.sqrt(dx * dx + dy * dy)
+            d[~valid] = np.inf
+            gid_m = (rrc * nx + ccc + 1).astype(np.int64)
+            kth = np.partition(d, k - 1, axis=1)[:, k - 1]
+            # strict: a point on its cell edge can be EXACTLY R*min_w
+            # from an excluded tile, and the (dist, gid) tie-break could
+            # then prefer an out-of-window gid
+            ok = (valid.sum(axis=1) >= k) & (kth < R * min_w - e_p[active])
+            if R >= max(nx, ny):  # window spans the whole grid: exact
+                ok[:] = True
+            if ok.any():
+                rows_l, gid_l, dist_l = _topk_by_dist_gid(d[ok], gid_m[ok], k)
+                acc_row.append(active[ok][rows_l])
+                acc_gid.append(gid_l)
+                acc_dist.append(dist_l)
+            active = active[~ok]
+            R *= 2
+        rows = np.concatenate(acc_row)
+        gid = np.concatenate(acc_gid)
+        dist = np.concatenate(acc_dist)
+        order = np.lexsort((gid, dist, rows))
+        return _emit(pdf, rows[order], gid[order], dist[order], u, k)
+
+    def _coarse_cell_batch(pdf, px, py, r, g, u, tree, side):
+        cell = 8.0 * side
+        n_tiles = len(g)
+        ci = np.floor(px / cell).astype(np.int64)
+        cj = np.floor(py / cell).astype(np.int64)
+        uniq, inv = np.unique(np.stack([ci, cj], axis=1), axis=0,
+                              return_inverse=True)
+        acc_row: list[np.ndarray] = []
+        acc_gid: list[np.ndarray] = []
+        acc_dist: list[np.ndarray] = []
+        for gi in range(len(uniq)):
+            sel = np.nonzero(inv == gi)[0]
+            gx, gy = px[sel], py[sel]
+            x0, y0 = uniq[gi, 0] * cell, uniq[gi, 1] * cell
+            x1, y1 = x0 + cell, y0 + cell
+            m = side * max(1.0, float(np.ceil(np.sqrt(k))))
+            while True:
+                cand = tree.query_rect(x0 - m, y0 - m, x1 + m, y1 + m)
+                if len(cand) < min(k, n_tiles):
+                    m *= 2.0
+                    continue
+                cand = cand[np.argsort(g[cand], kind="stable")]
+                d = point_rect_distance(gx, gy, r[cand])
+                kk = min(k, len(cand))
+                kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+                if (kth <= m).all() or len(cand) == n_tiles:
+                    break
+                m *= 2.0
+            cand_gid = np.broadcast_to(g[cand], d.shape)
+            rows_l, gid_l, dist_l = _topk_by_dist_gid(d, cand_gid, kk)
+            acc_row.append(sel[rows_l])
+            acc_gid.append(gid_l)
+            acc_dist.append(dist_l)
+        rows = np.concatenate(acc_row)
+        gid = np.concatenate(acc_gid)
+        dist = np.concatenate(acc_dist)
+        order = np.lexsort((gid, dist, rows))
+        rows, gid, dist = rows[order], gid[order], dist[order]
+        out = pdf[cols].iloc[rows].reset_index(drop=True)
+        out["nn_rank"] = np.tile(np.arange(1, min(k, n_tiles) + 1), len(pdf))
+        out["nn_gid"] = gid.astype("int64")
+        pos = {int(gg): i for i, gg in enumerate(g)}
+        out["nn_unit"] = u[[pos[int(gg)] for gg in gid]]
+        out["nn_dist"] = dist
+        return out
+
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         r, g, u = bc.value
+        n_tiles = len(g)
+        tree = None
+        side = None
+        if n_tiles > dense_max and grid is None:
+            from ..geo import STRtree
+
+            tree = STRtree(r)  # built once per task
+            areas = (r[:, 2] - r[:, 0]) * (r[:, 3] - r[:, 1])
+            side = float(np.sqrt(np.median(areas)))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             px = pdf[x].to_numpy(dtype=np.float64)
             py = pdf[y].to_numpy(dtype=np.float64)
-            d = point_rect_distance(px, py, r)  # (n_pts, n_tiles)
-            kk = min(k, d.shape[1])
-            # top-k by (dist, gid): argsort once on a structured key
-            # (lexsort over the k-smallest partition for efficiency)
-            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(np.arange(len(px)), kk)
-            cand = part.ravel()
-            dist = d[rows, cand]
-            order = np.lexsort((g[cand], dist, rows))
-            rows, cand, dist = rows[order], cand[order], dist[order]
-            out = pdf[cols].iloc[rows].reset_index(drop=True)
-            out["nn_rank"] = np.tile(np.arange(1, kk + 1), len(px))
-            out["nn_gid"] = g[cand].astype("int64")
-            out["nn_unit"] = u[cand]
-            out["nn_dist"] = dist
-            yield out
+            if n_tiles <= dense_max:
+                yield _dense_batch(pdf, px, py, r, g, u)
+            elif grid is not None:
+                yield _grid_ring_batch(pdf, px, py, u)
+            else:
+                yield _coarse_cell_batch(pdf, px, py, r, g, u, tree, side)
 
     return df.select(*cols).mapInPandas(probe, schema=out_schema)

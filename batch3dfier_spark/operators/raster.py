@@ -119,17 +119,26 @@ def pixel_cols(
 ) -> DataFrame:
     """Attach (pix_col, pix_row, pix_id) — the feature's pixel within
     its tile, pure JVM arithmetic (no UDF).  Uses the same half-open
-    floor rule as tile assignment, clamped so points on a tile's far
-    edge land in the last pixel (mirrors tiler grid clamping)."""
+    floor rule as tile assignment, clamped on BOTH edges: points on a
+    tile's far edge land in the last pixel (mirrors tiler grid
+    clamping), and float round-off on the near edge (where tile_col's
+    floor rounded up, making x - tx0 slightly negative) lands in pixel
+    0 instead of aliasing into the previous pixel row via pix_id = -1."""
     pw = grid.wx / res
     ph = grid.wy / res
     tx0 = F.lit(grid.territory.xmin) + F.col("tile_col") * F.lit(grid.wx)
     ty0 = F.lit(grid.territory.ymin) + F.col("tile_row") * F.lit(grid.wy)
-    pc = F.least(
-        F.floor((F.col(x) - tx0) / F.lit(pw)).cast("bigint"), F.lit(res - 1)
+    pc = F.greatest(
+        F.least(
+            F.floor((F.col(x) - tx0) / F.lit(pw)).cast("bigint"), F.lit(res - 1)
+        ),
+        F.lit(0).cast("bigint"),
     )
-    pr = F.least(
-        F.floor((F.col(y) - ty0) / F.lit(ph)).cast("bigint"), F.lit(res - 1)
+    pr = F.greatest(
+        F.least(
+            F.floor((F.col(y) - ty0) / F.lit(ph)).cast("bigint"), F.lit(res - 1)
+        ),
+        F.lit(0).cast("bigint"),
     )
     return (
         df.withColumn("pix_col", pc)

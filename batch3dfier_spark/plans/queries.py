@@ -845,11 +845,11 @@ SELECT tile_gid, tile_unit, CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM (
   SELECT tile_gid, tile_unit,
          {T.xmin} + tile_col * {WX}
-           + (LEAST(CAST(FLOOR((x - ({T.xmin} + tile_col * {WX})) / {_PWX}) AS BIGINT),
-                    {RASTER_RES - 1}) + 0.5) * {_PWX} AS cx,
+           + (GREATEST(LEAST(CAST(FLOOR((x - ({T.xmin} + tile_col * {WX})) / {_PWX}) AS BIGINT),
+                             {RASTER_RES - 1}), 0) + 0.5) * {_PWX} AS cx,
          {T.ymin} + tile_row * {WY}
-           + (LEAST(CAST(FLOOR((y - ({T.ymin} + tile_row * {WY})) / {_PWY}) AS BIGINT),
-                    {RASTER_RES - 1}) + 0.5) * {_PWY} AS cy
+           + (GREATEST(LEAST(CAST(FLOOR((y - ({T.ymin} + tile_row * {WY})) / {_PWY}) AS BIGINT),
+                             {RASTER_RES - 1}), 0) + 0.5) * {_PWY} AS cy
   FROM ({TILE_SQL})
 )
 WHERE {_DIAMOND_SQL}

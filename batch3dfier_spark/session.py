@@ -40,13 +40,19 @@ def get_spark(
         # the whole job (observed on this shared-host VM; on a real
         # cluster 4 is the standard default)
         b = b.master(f"local[{cores},4]")
+    else:
+        # cluster path only: speculative copies of straggler tasks.
+        # Spark's TaskSchedulerImpl never starts the speculation thread
+        # in local mode, so setting these locally would be a no-op —
+        # the local-mode mitigations are local[N,4] retries plus
+        # tools/stall_watchdog.py.
+        b = (
+            b.config("spark.speculation", "true")
+            .config("spark.speculation.multiplier", "4")
+            .config("spark.speculation.quantile", "0.9")
+        )
     b = (
         b
-        # a wedged worker (socket wait, no CPU) would otherwise hang a
-        # stage forever: launch speculative copies of slow tasks
-        .config("spark.speculation", "true")
-        .config("spark.speculation.multiplier", "4")
-        .config("spark.speculation.quantile", "0.9")
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

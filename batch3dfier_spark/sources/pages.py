@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..geo import Rect
 from ..operators.tiler import TileIndex, assign_tiles, with_geocode
 
-__all__ = ["ingest_pages", "read_geocoded"]
+__all__ = ["ingest_pages", "read_geocoded", "ingest_pages_bucketed"]
 
 
 def ingest_pages(

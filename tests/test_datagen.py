@@ -28,6 +28,22 @@ def test_text_shape():
         assert ln.endswith(".")
 
 
+def test_vectorized_bodies_match_per_row_spec():
+    # _bodies_from_digests is the batch path on the bench critical path;
+    # this is the regression guard pinning it byte-identical to the
+    # readable per-row spec across several max_sentences settings,
+    # including ms>32 to cover the digest-index %32 wrap.
+    import hashlib
+
+    digests = [
+        hashlib.sha256(f"spec-doc-{i}".encode()).digest() for i in range(300)
+    ]
+    for ms in (1, 2, 8, 31, 32, 40, 50):
+        batch = datagen._bodies_from_digests(digests, ms)
+        per_row = [datagen._body_from_digest(d, ms) for d in digests]
+        assert batch == per_row, f"divergence at max_sentences={ms}"
+
+
 def test_lang_distribution():
     df = datagen.gen_pages(2000)
     assert set(df["lang"].unique()) <= {"en", "nl", "de", "fr"}

@@ -62,6 +62,88 @@ def test_neighbor_pairs_strtree_path():
     assert got == exp
 
 
+def _knn_bruteforce(xs, ys, idx, k):
+    """(n, k) expected gid matrix + dist matrix by dense (dist, gid) sort."""
+    d = point_rect_distance(xs, ys, idx.rects)
+    gids = idx.frame["gid"].to_numpy()
+    exp_gid = np.empty((len(xs), k), dtype=np.int64)
+    exp_dist = np.empty((len(xs), k), dtype=np.float64)
+    for i in range(len(xs)):
+        order = np.lexsort((gids, d[i]))[:k]
+        exp_gid[i] = gids[order]
+        exp_dist[i] = d[i][order]
+    return exp_gid, exp_dist
+
+
+def _sample_points(nx, ny, n_random=150):
+    """Deterministic probe points: random interior + edge/corner/outside
+    cases that stress the ring-guarantee math."""
+    rng = np.random.RandomState(7)
+    xs = T.xmin + rng.rand(n_random) * (T.xmax - T.xmin)
+    ys = T.ymin + rng.rand(n_random) * (T.ymax - T.ymin)
+    wx = (T.xmax - T.xmin) / nx
+    wy = (T.ymax - T.ymin) / ny
+    extra_x = [T.xmin, T.xmax, T.xmin - 3 * wx, T.xmax + 3 * wx,
+               T.xmin + wx, (T.xmin + T.xmax) / 2]
+    extra_y = [T.ymin, T.ymax + 2 * wy, T.ymin - wy, T.ymax,
+               T.ymin + wy, (T.ymin + T.ymax) / 2]
+    xs = np.concatenate([xs, np.array(extra_x)])
+    ys = np.concatenate([ys, np.array(extra_y)])
+    return xs, ys
+
+
+def _check_knn_tier(spark, idx, k, nx, ny):
+    xs, ys = _sample_points(nx, ny)
+    pdf = pd.DataFrame({"pid": np.arange(len(xs)), "x": xs, "y": ys})
+    df = spark.createDataFrame(pdf)
+    out = (
+        knn_tiles(df, idx, k=k, keep=("pid",))
+        .toPandas()
+        .sort_values(["pid", "nn_rank"])
+        .reset_index(drop=True)
+    )
+    assert (out.groupby("pid")["nn_rank"].count() == k).all()
+    exp_gid, exp_dist = _knn_bruteforce(xs, ys, idx, k)
+    got_gid = out["nn_gid"].to_numpy().reshape(len(xs), k)
+    got_dist = out["nn_dist"].to_numpy().reshape(len(xs), k)
+    np.testing.assert_array_equal(got_gid, exp_gid)
+    np.testing.assert_allclose(got_dist, exp_dist, rtol=0, atol=0)
+
+
+def test_knn_grid_ring_path_matches_bruteforce(spark):
+    """128x128 = 16384 tiles > dense_max -> exercises the vectorized
+    grid-ring search, incl. outside-territory points (e_p > 0)."""
+    idx = TileIndex.regular_grid(T, 128, 128)
+    _check_knn_tier(spark, idx, k=5, nx=128, ny=128)
+
+
+def test_knn_coarse_cell_strtree_path_matches_bruteforce(spark):
+    """An index without a GridSpec and > dense_max tiles -> exercises the
+    coarse-cell + STRtree expanding-margin search."""
+    frame = datagen.grid_tile_index(T, 80, 80)  # 6400 > 4096
+    idx = TileIndex(frame)  # no grid: irregular path
+    assert idx.grid is None
+    _check_knn_tier(spark, idx, k=3, nx=80, ny=80)
+
+
+def test_knn_million_tile_index_bounded(spark):
+    """The advertised 1e6-tile scale: the ring search must complete with
+    bounded candidate windows (a dense matrix would be ~50 GB) and match
+    brute force on a sample of points."""
+    idx = TileIndex.regular_grid(T, 1000, 1000)
+    xs, ys = _sample_points(1000, 1000, n_random=40)
+    pdf = pd.DataFrame({"pid": np.arange(len(xs)), "x": xs, "y": ys})
+    out = (
+        knn_tiles(spark.createDataFrame(pdf), idx, k=3, keep=("pid",))
+        .toPandas()
+        .sort_values(["pid", "nn_rank"])
+        .reset_index(drop=True)
+    )
+    exp_gid, _ = _knn_bruteforce(xs, ys, idx, 3)
+    got_gid = out["nn_gid"].to_numpy().reshape(len(xs), 3)
+    np.testing.assert_array_equal(got_gid, exp_gid)
+
+
 def test_knn_matches_bruteforce(spark, pages_df, pages_pdf):
     idx = TileIndex.regular_grid(T, 5, 5)
     k = 4

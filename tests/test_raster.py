@@ -90,11 +90,11 @@ def test_overlay_keeps_exactly_masked_pixel_features(spark, idx, poly):
     ph = idx.grid.wy / RES
     tx0 = T.xmin + all_feats["tile_col"].to_numpy() * idx.grid.wx
     ty0 = T.ymin + all_feats["tile_row"].to_numpy() * idx.grid.wy
-    pc = np.minimum(
-        np.floor((all_feats["x"].to_numpy() - tx0) / pw), RES - 1
+    pc = np.maximum(
+        np.minimum(np.floor((all_feats["x"].to_numpy() - tx0) / pw), RES - 1), 0
     )
-    pr = np.minimum(
-        np.floor((all_feats["y"].to_numpy() - ty0) / ph), RES - 1
+    pr = np.maximum(
+        np.minimum(np.floor((all_feats["y"].to_numpy() - ty0) / ph), RES - 1), 0
     )
     cx = tx0 + (pc + 0.5) * pw
     cy = ty0 + (pr + 0.5) * ph

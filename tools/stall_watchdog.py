@@ -34,10 +34,43 @@ def _cpu_seconds(pid: int) -> float | None:
         return None
 
 
+def _ppid(pid: int) -> int | None:
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            parts = f.read().rsplit(b")", 1)[1].split()
+        return int(parts[1])  # field 4 = ppid (fields 1-2 consumed by comm)
+    except (FileNotFoundError, ProcessLookupError, IndexError, ValueError):
+        return None
+
+
+def _is_descendant(pid: int, ancestor: int, cache: dict[int, bool]) -> bool:
+    """True iff `ancestor` appears on pid's ppid chain (memoized)."""
+    chain = []
+    cur = pid
+    while cur not in (0, 1, None):
+        if cur == ancestor:
+            result = True
+            break
+        if cur in cache:
+            result = cache[cur]
+            break
+        chain.append(cur)
+        cur = _ppid(cur)
+    else:
+        result = False
+    for c in chain:
+        cache[c] = result
+    return result
+
+
 def _spark_pids() -> tuple[list[int], list[int]]:
-    """(jvm pids, python worker/daemon pids) of this session's Spark."""
+    """(jvm pids, python worker/daemon pids) of THIS session's Spark —
+    candidates are filtered to descendants of this process, so a
+    concurrent Spark job on the same host can neither mask a real stall
+    (its CPU would reset the stall clock) nor get its workers killed."""
     jvms, workers = [], []
     me = os.getpid()
+    cache: dict[int, bool] = {}
     for d in os.listdir("/proc"):
         if not d.isdigit():
             continue
@@ -49,9 +82,13 @@ def _spark_pids() -> tuple[list[int], list[int]]:
                 cmd = f.read()
         except (FileNotFoundError, ProcessLookupError, PermissionError):
             continue
+        if b"pyspark.daemon" not in cmd and b"org.apache.spark.deploy.SparkSubmit" not in cmd:
+            continue
+        if not _is_descendant(pid, me, cache):
+            continue
         if b"pyspark.daemon" in cmd:
             workers.append(pid)
-        elif b"org.apache.spark.deploy.SparkSubmit" in cmd:
+        else:
             jvms.append(pid)
     return jvms, workers
 
