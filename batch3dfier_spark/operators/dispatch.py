@@ -51,6 +51,9 @@ def run_tiles(
     tile_col: str = "tile_gid",
     skip_tiles: set[int] | None = None,
     resume: bool = True,
+    decomposable: bool = False,
+    salt_key_col: str = "url",
+    salt_target_rows: int = 250_000,
 ) -> pd.DataFrame:
     """Run `process` once per tile group; write per-tile parquet into
     `table`; commit atomically; return the lineage frame for this run.
@@ -58,6 +61,15 @@ def run_tiles(
     - resume=True drops tiles already committed (anti-join vs lineage).
     - skip_tiles are recorded with status='skipped' without processing
       (the reference's missing-LAZ bookkeeping, O15).
+    - decomposable=True enables the hot-tile salting path: the work is
+      `salted_split` into (tile, salt) subgroups of ~salt_target_rows
+      each, `process` runs per subgroup (valid whenever its output rows
+      are a row-wise function of input rows — map-style extraction,
+      per-row scoring), subgroup parquet files land in the same
+      tile_gid=<gid>/ directory (merge = union, free), and the partial
+      lineage rows are folded into ONE row per tile before commit —
+      the reference's own stated bottleneck ("the size of a single
+      tile", docs/batch3dfier.rst:32) stops serializing the stage.
     """
     completed = table.completed_tiles() if resume else set()
     skip_tiles = set(skip_tiles or ())
@@ -70,6 +82,13 @@ def run_tiles(
         work = work.where(~F.col(tile_col).isin([int(t) for t in todo_skip]))
 
     data_root = table.data_dir
+    group_cols = [tile_col]
+    if decomposable:
+        work = salted_split(
+            work, tile_col=tile_col, key_col=salt_key_col,
+            target_rows_per_group=salt_target_rows,
+        )
+        group_cols = [tile_col, "salt"]
 
     def worker(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
@@ -77,7 +96,7 @@ def run_tiles(
 
         tile = int(key[0])
         t0 = time.time()
-        out = process(pdf)
+        out = process(pdf.drop(columns=["salt"], errors="ignore"))
         status = "ok" if len(out) else "empty"
         path = ""
         if len(out):
@@ -102,25 +121,62 @@ def run_tiles(
         )
 
     lineage_pdf = (
-        work.groupBy(tile_col)
+        work.groupBy(*group_cols)
         .applyInPandas(worker, schema=_LINEAGE_SCHEMA + ", path string")
         .toPandas()
     )
 
-    rows = [
-        LineageRow(
-            tile_gid=int(r.tile_gid),
-            partition_id=int(r.partition_id),
-            rows_in=int(r.rows_in),
-            rows_out=int(r.rows_out),
-            wall_ms=float(r.wall_ms),
-            status=str(r.status),
+    import json as _json
+
+    proc_name = getattr(process, "__name__", "process")
+    if decomposable and len(lineage_pdf):
+        # fold per-(tile, salt) partials into ONE lineage row per tile:
+        # the tile is complete only when the whole run commits (the
+        # commit is atomic), so per-tile resume semantics are unchanged
+        agg = lineage_pdf.groupby("tile_gid").agg(
+            partition_id=("partition_id", "max"),
+            rows_in=("rows_in", "sum"),
+            rows_out=("rows_out", "sum"),
+            wall_ms=("wall_ms", "max"),
+            n_parts=("path", "size"),
+            any_ok=("status", lambda s: (s == "ok").any()),
         )
-        for r in lineage_pdf.itertuples()
-    ]
+        rows = [
+            LineageRow(
+                tile_gid=int(t),
+                partition_id=int(r.partition_id),
+                rows_in=int(r.rows_in),
+                rows_out=int(r.rows_out),
+                wall_ms=float(r.wall_ms),
+                status="ok" if r.any_ok else "empty",
+                work_order=_json.dumps(
+                    {"tile": int(t), "salt_groups": int(r.n_parts),
+                     "processor": proc_name}
+                ),
+            )
+            for t, r in agg.iterrows()
+        ]
+    else:
+        rows = [
+            LineageRow(
+                tile_gid=int(r.tile_gid),
+                partition_id=int(r.partition_id),
+                rows_in=int(r.rows_in),
+                rows_out=int(r.rows_out),
+                wall_ms=float(r.wall_ms),
+                status=str(r.status),
+                work_order=_json.dumps(
+                    {"tile": int(r.tile_gid), "salt_groups": 1,
+                     "processor": proc_name}
+                ),
+            )
+            for r in lineage_pdf.itertuples()
+        ]
     rows += [
         LineageRow(tile_gid=int(t), partition_id=-1, rows_in=0, rows_out=0,
-                   wall_ms=0.0, status="skipped")
+                   wall_ms=0.0, status="skipped",
+                   work_order=_json.dumps({"tile": int(t), "salt_groups": 0,
+                                           "processor": proc_name}))
         for t in sorted(todo_skip)
     ]
     new_files = [p for p in lineage_pdf["path"] if p]

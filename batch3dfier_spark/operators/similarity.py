@@ -86,9 +86,36 @@ def cosine_topk(
     )
 
 
+QUANT = 1048576.0  # 2^20 — same quantum as dedup.embedding_near_dups
+
+# projection LCG constants (closed form shared with the SQL oracle)
+_PROJ_A = 2654435761
+_PROJ_B = 40503
+_PROJ_C = 2463534242
+_PROJ_M = 2246822519
+_TWO32 = 1 << 32
+
+
 def _projection(dim: int, n_planes: int) -> np.ndarray:
-    rng = np.random.RandomState(20240816)
-    return rng.standard_normal((dim, n_planes))
+    """Deterministic integer hyperplane weights from a two-round LCG
+    mixer — a closed form an ANSI-SQL oracle can recompute exactly
+    (DuckDB: HUGEINT arithmetic), unlike a seeded Mersenne-Twister
+    gaussian.  w[d, c] = mix(d, c) >> 12 - 2^19, uniform over
+    [-2^19, 2^19) — integer-valued in float64, so quantized-vector dot
+    products are exact and sign tests are bit-identical across engines.
+    """
+    d = np.arange(dim, dtype=np.uint64)[:, None]
+    c = np.arange(n_planes, dtype=np.uint64)[None, :]
+    h1 = (d * np.uint64(_PROJ_A) + c * np.uint64(_PROJ_B) + np.uint64(_PROJ_C)) % np.uint64(_TWO32)
+    h2 = (h1 * np.uint64(_PROJ_M)) % np.uint64(_TWO32)  # uint64 wrap == mod 2^64 first
+    return (h2 >> np.uint64(12)).astype(np.float64) - 524288.0
+
+
+def _quantize_half_away(V: np.ndarray) -> np.ndarray:
+    """round(x * 2^20) half-away-from-zero — matches Spark F.round
+    (HALF_UP) and DuckDB ROUND; np.round is half-even and diverges."""
+    raw = V * QUANT
+    return np.sign(raw) * np.floor(np.abs(raw) + 0.5)
 
 
 def hyperplane_signatures(
@@ -101,7 +128,10 @@ def hyperplane_signatures(
 ) -> DataFrame:
     """(id, table_id, bucket) random-hyperplane LSH buckets — one row
     per hash table.  Signs computed in one Arrow-batched numpy matmul
-    per batch."""
+    per batch; vectors and weights are both integer-quantized so every
+    dot product is exact in float64 (64 dims x 2^20 x 2^20 < 2^53) and
+    the bucket assignment is reproducible bit-for-bit by the SQL
+    oracle regardless of accumulation order."""
     proj = _projection(dim, n_planes * tables)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(proj)
@@ -112,8 +142,10 @@ def hyperplane_signatures(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            signs = (V @ P) > 0  # (n, planes*tables)
+            V = _quantize_half_away(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            )
+            signs = (V @ P) > 0  # (n, planes*tables), exact int dots
             out = []
             for t in range(tables):
                 block = signs[:, t * n_planes : (t + 1) * n_planes]

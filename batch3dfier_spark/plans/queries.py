@@ -429,13 +429,17 @@ WITH t AS (
   FROM (SELECT doc_id, lang, n_chars,
                REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks
         FROM documents)
+), tc AS (
+  -- block cap twin of ngram_jaccard_pairs(block_cap=4096)
+  SELECT * FROM t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, blk ORDER BY doc_id) <= 4096
 )
 SELECT id_a, id_b, jaccard FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          LEN(LIST_INTERSECT(a.grams, b.grams)) * 1.0
            / NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))), 0)
            AS jaccard
-  FROM t a JOIN t b
+  FROM tc a JOIN tc b
     ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
 ) WHERE jaccard >= 0.5
 """
@@ -470,36 +474,165 @@ SELECT id_a, id_b, cosine FROM (
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64 perms) -> 16-band LSH -> exact shingle-Jaccard verify.
-    Non-SQL-expressible (numpy signature kernels) -> rows-only driver
-    check; tests/test_dedup.py recomputes signatures + pairs with a
-    pure-python oracle."""
-    from ..operators.dedup import (
-        lsh_candidates,
-        minhash_signatures,
-        verified_near_dups,
-    )
+    """MinHash(64 perms) -> exact-dedup prefilter -> 16-band LSH with a
+    deterministic bucket cap -> exact shingle-Jaccard verify.  The
+    whole funnel (shingle rolling hash, Mersenne-permutation minima,
+    band keys, cap, verification) is recomputed by the DuckDB oracle
+    with HUGEINT arithmetic — full hash-compare, no longer rows-only."""
+    from ..operators.dedup import minhash_near_dups
 
-    docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs)
-    cands = lsh_candidates(sigs)
-    return verified_near_dups(docs, cands, threshold=0.5).select(
-        "id_a", "id_b", "jaccard"
+    return minhash_near_dups(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _sql_dedup_minhash() -> str:
+    from ..operators.dedup import MERSENNE, _perm_params, _token_weights
+
+    cap = 128
+    # shingle weights: descending powers P^(k-1-j), k=5 (dedup._shingle_hashes)
+    w = [int(v) for v in _token_weights(5)][::-1]
+    sh_terms = " + ".join(
+        f"CAST(ascii(text[i+{j}:i+{j}]) AS HUGEINT) * {w[j]}" for j in range(5)
     )
+    # len < 5: the engine zero-pads to one shingle; out-of-range slices
+    # give ascii('') = 0, so the same 5-term sum at i=1 reproduces it
+    pad_terms = " + ".join(
+        f"CAST(ascii(text[{j + 1}:{j + 1}]) AS HUGEINT) * {w[j]}" for j in range(5)
+    )
+    a, b = _perm_params(64)
+    mh_cols = ",\n         ".join(
+        f"LIST_MIN(LIST_TRANSFORM(shingles, s -> (CAST({int(a[i])} AS HUGEINT)"
+        f" * (s % {MERSENNE}) + {int(b[i])}) % {MERSENNE})) AS mh{i}"
+        for i in range(64)
+    )
+    band_keys = ", ".join(
+        "CAST(mh%d AS VARCHAR) || ',' || CAST(mh%d AS VARCHAR) || ',' || "
+        "CAST(mh%d AS VARCHAR) || ',' || CAST(mh%d AS VARCHAR)"
+        % (4 * bb, 4 * bb + 1, 4 * bb + 2, 4 * bb + 3)
+        for bb in range(16)
+    )
+    # estimated-jaccard screen: mirrors minhash_near_dups est_margin
+    import math
+
+    est_min = int(math.ceil(64 * (0.5 - 0.15)))
+    est_sum = " + ".join(
+        f"CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END" for i in range(64)
+    )
+    return f"""
+WITH keepers AS (
+  SELECT doc_id, text
+  FROM (SELECT doc_id, text,
+               MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+        FROM documents)
+  WHERE doc_id = keeper
+), sh AS (
+  SELECT doc_id,
+         LIST_DISTINCT(CASE WHEN LENGTH(text) >= 5 THEN
+           [({sh_terms}) % 18446744073709551616
+            FOR i IN RANGE(1, LENGTH(text) - 3)]
+         ELSE [({pad_terms}) % 18446744073709551616] END) AS shingles
+  FROM keepers
+), mh AS (
+  SELECT doc_id, shingles,
+         {mh_cols}
+  FROM sh
+), banded AS (
+  SELECT doc_id, UNNEST(RANGE(16)) AS band_id,
+         UNNEST([{band_keys}]) AS band_key
+  FROM mh
+), capped AS (
+  SELECT doc_id, band_id, band_key FROM banded
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY band_id, band_key
+                             ORDER BY doc_id) <= {cap}
+), rawpairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id
+), pairs AS (
+  -- estimated-jaccard screen: >= est_min matching signature components
+  SELECT id_a, id_b FROM rawpairs
+  JOIN mh ma ON ma.doc_id = id_a
+  JOIN mh mb ON mb.doc_id = id_b
+  WHERE ({est_sum}) >= {est_min}
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) * 1.0
+           / (LEN(sa.shingles) + LEN(sb.shingles)
+              - LEN(LIST_INTERSECT(sa.shingles, sb.shingles))) AS jaccard
+  FROM pairs JOIN sh sa ON sa.doc_id = pairs.id_a
+             JOIN sh sb ON sb.doc_id = pairs.id_b
+) WHERE jaccard >= 0.5
+"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures (Arrow-batched numpy).  Rows-only
-    driver check; pytest python-oracle in tests/test_dedup.py."""
-    from ..operators.dedup import simhash_signatures
+    """SimHash near-dup pairs: 64-bit signature from polynomial token
+    hashes, 4x16-bit banding, bit_count(xor) <= 8 verification — the
+    banding/join/verify stages are pure JVM expressions; the DuckDB
+    oracle recomputes token hashes, majority-vote bits, bands, and
+    Hamming distances exactly."""
+    from ..operators.dedup import simhash_near_dups
 
-    return simhash_signatures(_docs(spark, sf_dir))
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=8)
+
+
+def _sql_dedup_simhash() -> str:
+    from ..operators.dedup import _TOKEN_MAX_BYTES, _token_weights
+
+    w = [int(v) for v in _token_weights(_TOKEN_MAX_BYTES)]
+    tok_terms = " + ".join(
+        f"CAST(ascii(t[{j + 1}:{j + 1}]) AS HUGEINT) * {w[j]}"
+        for j in range(_TOKEN_MAX_BYTES)
+    )
+    bit_exprs = ",\n         ".join(
+        f"CASE WHEN LEN(hs) = 0 THEN 0"
+        f" WHEN LEN(LIST_FILTER(hs, h -> (h // {1 << j}) % 2 = 1)) * 2 >= LEN(hs)"
+        f" THEN 1 ELSE 0 END"
+        for j in range(64)
+    )
+    band_vals = ", ".join(
+        " + ".join(f"bits[{16 * bb + j + 1}] * {1 << j}" for j in range(16))
+        for bb in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') END AS tk
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(tk, t -> ({tok_terms}) % 18446744073709551616) AS hs
+  FROM toks
+), bm AS (
+  SELECT doc_id,
+         [{bit_exprs}] AS bits
+  FROM th
+), banded AS (
+  SELECT doc_id, bits, UNNEST(RANGE(4)) AS band_id,
+         UNNEST([{band_vals}]) AS band_val
+  FROM bm
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.bits AS ba, b.bits AS bb
+  FROM banded a JOIN banded b USING (band_id, band_val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b,
+         CAST(LIST_SUM([CASE WHEN ba[j+1] <> bb[j+1] THEN 1 ELSE 0 END
+                        FOR j IN RANGE(64)]) AS INT) AS hamming
+  FROM pairs
+) WHERE hamming <= 8
+"""
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 cosine (the scale path of
-    ann_cosine).  Rows-only driver check; recall-vs-brute-force gated
-    in tests/test_similarity.py."""
+    ann_cosine).  Buckets come from integer-quantized hyperplane dots
+    (exact in float64), so the DuckDB oracle recomputes the SAME
+    buckets, candidates, and re-scored ranking bit-for-bit — recall is
+    additionally gated vs brute force in tests/test_similarity.py."""
     from ..operators.similarity import lsh_ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -507,6 +640,59 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(
         emb, emb.where(F.col("vec_id") % 100 == 0), dim=dim, k=5
     )
+
+
+def _sql_ann_lsh() -> str:
+    """Oracle twin of q_ann_lsh: same LCG hyperplane weights, same
+    quantized sign tests, same candidate join + exact re-score.  The
+    embedding dim is pinned to 64 (the testdata width; q_ann_lsh infers
+    it at runtime)."""
+    from ..operators.similarity import (
+        _PROJ_A, _PROJ_B, _PROJ_C, _PROJ_M,
+    )
+
+    n_planes, tables, k, dim = 6, 24, 5, 64
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                        x -> ROUND(x * 1048576.0)) AS q
+  FROM embeddings
+), w AS (
+  SELECT c,
+         [CAST(((CAST((d * {_PROJ_A} + c * {_PROJ_B} + {_PROJ_C}) % 4294967296 AS HUGEINT)
+                 * {_PROJ_M}) % 4294967296) // 4096 - 524288 AS DOUBLE)
+          FOR d IN RANGE({dim})] AS wv
+  FROM (SELECT UNNEST(RANGE({n_planes * tables})) AS c)
+), sig AS (
+  SELECT e.vec_id, w.c // {n_planes} AS table_id,
+         SUM(CASE WHEN LIST_DOT_PRODUCT(e.q, w.wv) > 0
+                  THEN (CAST(1 AS BIGINT) << (w.c % {n_planes})) ELSE 0 END) AS bucket
+  FROM e, w
+  GROUP BY e.vec_id, w.c // {n_planes}
+), pairs AS (
+  SELECT DISTINCT s2.vec_id AS query_id, s1.vec_id AS cand_id
+  FROM sig s1 JOIN sig s2
+    ON s1.table_id = s2.table_id AND s1.bucket = s2.bucket
+  WHERE s2.vec_id % 100 = 0 AND s1.vec_id <> s2.vec_id
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+), scored AS (
+  SELECT p.query_id, p.cand_id,
+         ROUND(LIST_DOT_PRODUCT(qv.dv, cv.dv)
+               / (SQRT(LIST_DOT_PRODUCT(qv.dv, qv.dv))
+                  * SQRT(LIST_DOT_PRODUCT(cv.dv, cv.dv))), 6) AS cosine
+  FROM pairs p
+  JOIN v cv ON cv.vec_id = p.cand_id
+  JOIN v qv ON qv.vec_id = p.query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rk
+  FROM scored
+)
+SELECT query_id, CAST(rk AS INT) AS rank, cand_id, cosine
+FROM ranked WHERE rk <= {k}
+"""
 
 
 def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,6 +1044,153 @@ GROUP BY tile_gid, tile_unit
 
 
 # ---------------------------------------------------------------------------
+# bag3d result assembly (S7 CSV ingest + J6 file-date stamp + J4 full
+# assembly + P5 validity filter + S8 CSV export; operators/bag3d.py)
+# ---------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+_ASSET_BASE_DATE = "2024-06-01 00:00:00"
+
+
+def _bag3d_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared assembly pipeline: per-tile heights go through a REAL
+    worker-CSV round-trip (S6 write -> S7 schema-explicit read), get
+    their point-cloud file_date stamped by a broadcast join against the
+    asset index (J6: footprint tile (row,col) -> covering 2x2 asset
+    tile), and join back onto every footprint column (J4 at the
+    reference's full-table fidelity, bag3d.py:143-176).  Every derived
+    attribute is a closed form of doc_id so the DuckDB oracle recomputes
+    the whole thing without touching the CSVs."""
+    import tempfile
+
+    import pandas as pd
+
+    from ..operators.bag3d import (
+        assemble_bag3d,
+        load_worker_csvs,
+        stamp_file_date,
+        write_worker_csvs,
+    )
+    from ..operators.heights import percentile_heights
+
+    assigned = _assigned(spark, sf_dir)
+    heights = percentile_heights(assigned, key="tile_gid", value="n_chars")
+    csv_dir = tempfile.mkdtemp(prefix="b3d_worker_csvs_")
+    write_worker_csvs(heights, csv_dir)
+    loaded = load_worker_csvs(spark, csv_dir).withColumn(
+        "tile_gid", F.col("tile_gid").cast("bigint")
+    )
+    # footprint tile (row, col) -> covering asset tile of the 2x2 grid
+    row = (F.col("tile_gid") - 1) / F.lit(GRID_N)
+    col = (F.col("tile_gid") - 1) % F.lit(GRID_N)
+    arow = F.floor(F.floor(row) / F.lit(GRID_N // ASSET_N))
+    acol = F.floor(col / F.lit(GRID_N // ASSET_N))
+    loaded = loaded.withColumn(
+        "asset_gid", (arow * F.lit(ASSET_N) + acol + 1).cast("bigint")
+    )
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_gid": pd.array(range(1, ASSET_N * ASSET_N + 1), dtype="int64"),
+                "file_date": [
+                    pd.Timestamp(_ASSET_BASE_DATE) + pd.Timedelta(days=g)
+                    for g in range(1, ASSET_N * ASSET_N + 1)
+                ],
+            }
+        )
+    )
+    stamped = stamp_file_date(loaded, assets)
+    feats = assigned.withColumn(
+        "bouwjaar", (F.lit(1950) + F.col("doc_id") % 100).cast("int")
+    ).withColumn(
+        "begin_ts",
+        F.expr(
+            "timestampadd(DAY, CAST(doc_id % 9000 AS INT),"
+            " TIMESTAMP '2000-01-01 00:00:00')"
+        ),
+    )
+    return assemble_bag3d(
+        feats.select(
+            "doc_id", "lang", "source", "n_chars", "tile_gid", "tile_unit",
+            "bouwjaar", "begin_ts",
+        ),
+        stamped.drop("asset_gid"),
+        key="tile_gid",
+    )
+
+
+_BAG3D_PCTS = [
+    f"ground_{p:02d}" for p in (0, 10, 20, 30, 40, 50)
+] + [f"roof_{p:02d}" for p in (0, 10, 25, 50, 75, 90, 95, 99)]
+
+
+def _bag3d_select(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", "lang", "source", "n_chars", "tile_gid", "tile_unit",
+        "bouwjaar",
+        F.date_format("begin_ts", _TS_FMT_SPARK).alias("begin_ts"),
+        F.date_format("ahn_file_date", _TS_FMT_SPARK).alias("ahn_file_date"),
+        *_BAG3D_PCTS,
+        "n_rows",
+    )
+
+
+def q_bag3d_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's bag3d console pipeline end-to-end (S7+J6+J4):
+    worker CSVs -> file-date stamp -> full footprints ⋈ heights table."""
+    return _bag3d_select(_bag3d_assembled(spark, sf_dir))
+
+
+def q_bag3d_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: the bag3d_valid_height rule over the assembled table
+    (bouwjaar <= year(ahn_file_date) AND begin < ahn_file_date,
+    reference bag3d.py:188-194)."""
+    from ..operators.bag3d import valid_height_filter
+
+    return _bag3d_select(valid_height_filter(_bag3d_assembled(spark, sf_dir)))
+
+
+def _sql_bag3d(valid_only: bool) -> str:
+    pct_cols = _pct_sql_cols()
+    where = (
+        "WHERE bouwjaar <= DATE_PART('year', ahn_ts) AND begin_raw < ahn_ts"
+        if valid_only
+        else ""
+    )
+    return f"""
+WITH assigned AS ({TILE_SQL}),
+heights AS (
+  SELECT tile_gid,
+         {pct_cols},
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM assigned GROUP BY tile_gid
+), stamped AS (
+  SELECT *,
+         TIMESTAMP '{_ASSET_BASE_DATE}' + INTERVAL (
+           ((tile_gid - 1) // {GRID_N} // {GRID_N // ASSET_N}) * {ASSET_N}
+           + ((tile_gid - 1) % {GRID_N}) // {GRID_N // ASSET_N} + 1
+         ) DAY AS ahn_ts
+  FROM heights
+), full_tbl AS (
+  SELECT a.doc_id, a.lang, a.source, a.n_chars, a.tile_gid, a.tile_unit,
+         CAST(1950 + a.doc_id % 100 AS INT) AS bouwjaar,
+         TIMESTAMP '2000-01-01 00:00:00'
+           + INTERVAL (a.doc_id % 9000) DAY AS begin_raw,
+         s.* EXCLUDE (tile_gid)
+  FROM assigned a JOIN stamped s USING (tile_gid)
+)
+SELECT doc_id, lang, source, n_chars, tile_gid, tile_unit, bouwjaar,
+       STRFTIME(begin_raw, '{_TS_FMT_DUCK}') AS begin_ts,
+       STRFTIME(ahn_ts, '{_TS_FMT_DUCK}') AS ahn_file_date,
+       {", ".join(_BAG3D_PCTS)},
+       n_rows
+FROM full_tbl
+{where}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -873,9 +1206,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
-    "dedup_minhash": (q_dedup_minhash, None),
-    "dedup_simhash": (q_dedup_simhash, None),
-    "ann_lsh": (q_ann_lsh, None),
+    "dedup_minhash": (q_dedup_minhash, None),  # sql built lazily below
+    "dedup_simhash": (q_dedup_simhash, None),  # sql built lazily below
+    "ann_lsh": (q_ann_lsh, None),  # sql built lazily below
     "cell_encode": (q_cell_encode, SQL_CELL_ENCODE),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
@@ -889,8 +1222,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "raster_mask": (q_raster_mask, SQL_RASTER_MASK),
     "raster_overlay": (q_raster_overlay, SQL_RASTER_OVERLAY),
+    "bag3d_assembly": (q_bag3d_assembly, _sql_bag3d(valid_only=False)),
+    "bag3d_valid": (q_bag3d_valid, _sql_bag3d(valid_only=True)),
 }
 REGISTRY["textstats"] = (q_textstats, _sql_textstats())
+REGISTRY["ann_lsh"] = (q_ann_lsh, _sql_ann_lsh())
+REGISTRY["dedup_minhash"] = (q_dedup_minhash, _sql_dedup_minhash())
+REGISTRY["dedup_simhash"] = (q_dedup_simhash, _sql_dedup_simhash())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

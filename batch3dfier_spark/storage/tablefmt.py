@@ -44,6 +44,10 @@ class LineageRow:
     wall_ms: float
     status: str  # ok | skipped | empty
     snapshot_id: int = -1  # filled at commit
+    # S5 parity: the per-tile work order the reference renders as a
+    # YAML config (config.py:115-178), kept as a JSON string —
+    # {"tile": gid, "salt_groups": n, "processor": name}
+    work_order: str = ""
 
 
 class IcebergishTable:
@@ -105,10 +109,13 @@ class IcebergishTable:
     def lineage(self) -> pd.DataFrame:
         cur = self.current_snapshot()
         cols = ["tile_gid", "partition_id", "rows_in", "rows_out",
-                "wall_ms", "status", "snapshot_id"]
+                "wall_ms", "status", "snapshot_id", "work_order"]
         if not cur or not cur["lineage"]:
             return pd.DataFrame(columns=cols)
-        return pd.DataFrame(cur["lineage"])[cols]
+        pdf = pd.DataFrame(cur["lineage"])
+        if "work_order" not in pdf.columns:  # pre-upgrade snapshots
+            pdf["work_order"] = ""
+        return pdf[cols]
 
     def completed_tiles(self) -> set[int]:
         lin = self.lineage()

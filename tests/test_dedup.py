@@ -63,8 +63,33 @@ def test_minhash_jaccard_estimate_tracks_exact():
     assert abs(est - exact) < 0.12
 
 
+def _simhash_py(text):
+    """Readable per-doc spec: polynomial token hash (sum of byte*P^j
+    over the first 32 bytes, mod 2^64) + bitwise majority vote."""
+    P = 1099511628211
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    hs = []
+    for t in toks:
+        h = 0
+        w = 1
+        for byte in t.encode("utf-8", "ignore")[:32]:
+            h = (h + byte * w) & 0xFFFFFFFFFFFFFFFF
+            w = (w * P) & 0xFFFFFFFFFFFFFFFF
+        hs.append(h)
+    hs = np.array(hs, dtype=np.uint64)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = bits.sum(axis=0) * 2 >= len(hs)
+    return int(
+        np.bitwise_or.reduce(
+            votes.astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        ).astype(np.int64)
+    )
+
+
 def test_simhash_matches_oracle(spark, docs_df, docs_pdf):
-    from batch3dfier_spark.operators.dedup import _fnv64, simhash_signatures
+    from batch3dfier_spark.operators.dedup import simhash_signatures
 
     got = (
         simhash_signatures(docs_df)
@@ -72,39 +97,69 @@ def test_simhash_matches_oracle(spark, docs_df, docs_pdf):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-
-    def oracle(text):
-        toks = (text or "").split()
-        if not toks:
-            return 0
-        hs = np.array([_fnv64(t.encode()) for t in toks], dtype=np.uint64)
-        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        votes = bits.sum(axis=0) * 2 >= len(hs)
-        return int(
-            np.bitwise_or.reduce(
-                votes.astype(np.uint64) << np.arange(64, dtype=np.uint64)
-            ).astype(np.int64)
-        )
-
-    exp = docs_pdf["text"].map(oracle).to_numpy()
+    exp = docs_pdf["text"].map(_simhash_py).to_numpy()
     assert (got["simhash"].to_numpy() == exp).all()
 
 
 def test_simhash_hamming_near_for_near_dups():
     """Near-identical texts must land within small Hamming distance."""
-    from batch3dfier_spark.operators.dedup import _fnv64
-
-    def sim(text):
-        toks = text.split()
-        hs = np.array([_fnv64(t.encode()) for t in toks], dtype=np.uint64)
-        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        votes = (bits.sum(axis=0) * 2 >= len(hs)).astype(np.uint64)
-        return np.bitwise_or.reduce(votes << np.arange(64, dtype=np.uint64))
-
     a = "alpha beta gamma delta epsilon zeta eta theta " * 30
     b = a + "iota"
-    ham = bin(int(sim(a)) ^ int(sim(b))).count("1")
+    ham = bin(_simhash_py(a) ^ _simhash_py(b)).count("1")
     assert ham <= 8
+
+
+def test_simhash_near_dups_banding_matches_bruteforce(spark, docs_df, docs_pdf):
+    """The banded candidate join must recover EVERY pair within the
+    Hamming threshold (pigeonhole: <= 8 differing bits over 4 bands
+    leaves at least one band identical only when ham < 4 — so assert
+    exact recovery for ham < bands, and no false positives ever)."""
+    from batch3dfier_spark.operators.dedup import simhash_near_dups
+
+    sigs = docs_pdf["text"].map(_simhash_py).to_numpy()
+    ids = docs_pdf["doc_id"].to_numpy()
+    got = simhash_near_dups(docs_df, max_hamming=8).toPandas()
+    got_pairs = {(int(r.id_a), int(r.id_b)): int(r.hamming)
+                 for r in got.itertuples()}
+    # no false positives: every reported pair's true hamming matches
+    for (i, j), h in got_pairs.items():
+        a = sigs[ids == i][0]
+        b = sigs[ids == j][0]
+        assert bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1") == h <= 8
+    # guaranteed recovery below the band count
+    for i_pos in range(len(ids)):
+        for j_pos in range(i_pos + 1, len(ids)):
+            ham = bin((int(sigs[i_pos]) ^ int(sigs[j_pos])) & ((1 << 64) - 1)).count("1")
+            if ham < 4:
+                assert (int(ids[i_pos]), int(ids[j_pos])) in got_pairs
+
+
+def test_minhash_near_dups_hot_bucket_capped(spark):
+    """1k identical docs must NOT explode into ~500k x 16 candidate
+    pairs: the exact-dedup prefilter collapses them to one keeper, so
+    the funnel emits zero pairs and the lineage-of-work (pair count)
+    stays bounded."""
+    import pandas as pd
+
+    from batch3dfier_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_near_dups,
+        minhash_signatures,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "text": ["the same exact document body repeated verbatim"] * 1000,
+        }
+    )
+    df = spark.createDataFrame(docs)
+    pairs = minhash_near_dups(df, threshold=0.5).toPandas()
+    assert len(pairs) == 0  # one keeper survives the prefilter
+    # and even WITHOUT the prefilter, the bucket cap bounds the blowup:
+    sigs = minhash_signatures(df)
+    capped = lsh_candidates(sigs, bucket_cap=16).toPandas()
+    assert len(capped) == 16 * 15 // 2  # pairs among the 16 lowest ids
 
 
 def test_lsh_near_dup_recall_vs_bruteforce(spark, docs_df, docs_pdf):
@@ -143,6 +198,73 @@ def test_lsh_near_dup_recall_vs_bruteforce(spark, docs_df, docs_pdf):
         inter = len(sets[i] & sets[j])
         union = len(sets[i] | sets[j])
         assert union and inter / union >= 0.9
+
+
+def test_embedding_near_dups_no_driver_collect_and_exact(spark):
+    """The all-pairs block scorer must (a) never collect vectors to the
+    driver (the round-1 scale killer) and (b) reproduce the numpy
+    brute-force pairs exactly, across several block counts."""
+    from pyspark.sql import DataFrame
+
+    from batch3dfier_spark.operators.dedup import QUANT, embedding_near_dups
+
+    emb_pdf = duckdb.sql(
+        f"SELECT * FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    # (a) construction is lazy: any toPandas/collect during plan build
+    # would be a driver-side materialization of the table
+    orig_topandas, orig_collect = DataFrame.toPandas, DataFrame.collect
+    def _boom(self, *a, **kw):  # noqa: ANN001
+        raise AssertionError("driver collect during plan construction")
+    DataFrame.toPandas, DataFrame.collect = _boom, _boom
+    try:
+        plan = embedding_near_dups(emb, threshold=0.4)
+    finally:
+        DataFrame.toPandas, DataFrame.collect = orig_topandas, orig_collect
+
+    # (b) exact vs quantized brute force, independent of block layout
+    ids = emb_pdf["vec_id"].to_numpy(dtype=np.int64)
+    # half-away-from-zero to match Spark F.round (HALF_UP) and DuckDB
+    # ROUND — np.round is half-even and diverges on exact-.5 float32s
+    raw = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64) * QUANT
+    M = np.sign(raw) * np.floor(np.abs(raw) + 0.5)
+    norms = np.sqrt((M * M).sum(axis=1))
+    cos = (M @ M.T) / (norms[:, None] * norms[None, :])
+    ii, jj = np.nonzero((cos >= 0.4) & (ids[:, None] < ids[None, :]))
+    exp = {(int(ids[i]), int(ids[j])): cos[i, j] for i, j in zip(ii, jj)}
+
+    for block_rows in (7, 64, 10_000):
+        got_pdf = embedding_near_dups(
+            emb, threshold=0.4, block_rows=block_rows
+        ).toPandas()
+        got = {
+            (int(r.id_a), int(r.id_b)): r.cosine for r in got_pdf.itertuples()
+        }
+        assert set(got) == set(exp), f"pair set differs at block_rows={block_rows}"
+        for p, c in got.items():
+            assert c == exp[p], f"cosine not bit-identical at {p}"
+    # the lazily-built plan also executes correctly
+    assert len(plan.toPandas()) == len(exp)
+
+
+def test_embedding_near_dups_candidates_rescore(spark):
+    """The 100 TB funnel path: given candidate pairs, only those are
+    rescored; output is the threshold-surviving subset."""
+    from batch3dfier_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    full = embedding_near_dups(emb, threshold=0.4).toPandas()
+    assert len(full) > 0
+    # feed half the true pairs + some junk pairs as candidates
+    true_half = full.iloc[::2][["id_a", "id_b"]]
+    junk = pd.DataFrame({"id_a": [0, 1], "id_b": [9998, 9999]})
+    cands = spark.createDataFrame(pd.concat([true_half, junk]))
+    got = embedding_near_dups(emb, threshold=0.4, candidates=cands).toPandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    exp_pairs = set(zip(true_half["id_a"], true_half["id_b"]))
+    assert got_pairs == exp_pairs
 
 
 def test_ngram_pairs_match_duckdb(spark, docs_df):

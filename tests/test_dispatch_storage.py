@@ -111,6 +111,52 @@ def test_commit_atomicity(tmp_path):
     assert table.completed_tiles() == {9}  # lineage carried forward
 
 
+def test_run_tiles_decomposable_salts_hot_tile(spark, tmp_path):
+    """A hot tile above the salt target must be processed as MULTIPLE
+    subgroups (several parquet parts in its tile dir) while the result
+    table and the per-tile lineage stay identical to the unsalted run."""
+    import os
+
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i:05d}" for i in range(3000)],
+            "text": [f"tok{i} alpha beta" for i in range(3000)],
+            "tile_gid": [1] * 2500 + [2] * 500,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # unsalted reference run
+    t_ref = IcebergishTable(str(tmp_path / "ref"))
+    run_tiles(df, tile_processor, t_ref)
+    ref = (
+        t_ref.read(spark).toPandas().sort_values("url").reset_index(drop=True)
+    )
+    # salted run: target 600 -> hot tile splits into ceil(2500/600)=5
+    t_salt = IcebergishTable(str(tmp_path / "salt"))
+    lineage = run_tiles(
+        df, tile_processor, t_salt, decomposable=True, salt_target_rows=600
+    )
+    hot_parts = os.listdir(os.path.join(t_salt.data_dir, "tile_gid=1"))
+    assert len(hot_parts) == 5  # >1 task for the hot tile
+    cold_parts = os.listdir(os.path.join(t_salt.data_dir, "tile_gid=2"))
+    assert len(cold_parts) == 1
+    got = (
+        t_salt.read(spark).toPandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+    # lineage folded to one row per tile, accounting intact
+    assert lineage["tile_gid"].nunique() == len(lineage) == 2
+    hot = lineage[lineage["tile_gid"] == 1].iloc[0]
+    assert hot["rows_in"] == 2500 and hot["rows_out"] == 2500
+    import json
+
+    assert json.loads(hot["work_order"])["salt_groups"] == 5
+    # resume semantics unchanged: a second run finds everything done
+    lin2 = run_tiles(df, tile_processor, t_salt, decomposable=True,
+                     salt_target_rows=600)
+    assert t_salt.read(spark).count() == 3000
+
+
 def test_salted_split_bounds_group_size(spark):
     # zipf-ish skew: one hot tile with 5000 rows, others tiny
     pdf = pd.DataFrame(
