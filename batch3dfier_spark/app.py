@@ -56,6 +56,12 @@ CONFIG_DEFAULTS = {
     "parallelism": 4,
     "resume": True,
     "skip_units": [],
+    # hot-tile salting (O10 skew handling): decomposable=True splits
+    # tiles above salt_target_rows into (tile, salt) subgroups — ONLY
+    # valid for row-wise processors (per-row output independent of the
+    # rest of the tile); the default_processor aggregates per tile, so
+    # the default stays False
+    "dispatch": {"decomposable": False, "salt_target_rows": 250_000},
 }
 
 
@@ -165,9 +171,12 @@ def run_job(
     table = IcebergishTable(cfg["output"]["table"])
     unit_to_gid = dict(zip(index.frame["unit"], index.frame["gid"]))
     skip_gids = {int(unit_to_gid[u]) for u in cfg["skip_units"] if u in unit_to_gid}
+    disp = {**CONFIG_DEFAULTS["dispatch"], **(cfg.get("dispatch") or {})}
     lineage = run_tiles(
         work, process, table,
         skip_tiles=skip_gids, resume=bool(cfg["resume"]),
+        decomposable=bool(disp["decomposable"]),
+        salt_target_rows=int(disp["salt_target_rows"]),
     )
     report = skip_report(lineage)
     report["units_selected"] = len(units)

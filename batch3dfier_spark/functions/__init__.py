@@ -20,3 +20,8 @@ from .text import (  # noqa: F401
     extract_text_np,
     render_html_np,
 )
+from .wkb import (  # noqa: F401
+    EWKB_SRID_DEFAULT,
+    ewkb_point_hex_np,
+    ewkb_point_hex_udf,
+)
