@@ -369,6 +369,7 @@ def minhash_near_dups(
     bucket_cap: int | None = 128,
     prefilter_exact: bool = True,
     est_margin: float = 0.15,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """The full MinHash near-dup funnel, skew-safe at web scale:
 
@@ -387,6 +388,14 @@ def minhash_near_dups(
        and it cuts the exact-verify stage by ~99% on web-ish corpora.
     4. exact shingle-Jaccard verification of the survivors only.
 
+    persist_intermediates puts a MEMORY_AND_DISK barrier under the
+    keeper set and the signatures: both subtrees feed the plan 2-4
+    times (candidate self-join sides + estimate screen sides), and
+    without the barrier Spark recomputes the full text scan + signature
+    UDF per consumer — the same reason the reference materializes its
+    centroid table (footprints.py:93-150) instead of re-deriving it per
+    tile view.
+
     Returns (id_a, id_b, jaccard) for near-dup keeper pairs."""
     if prefilter_exact:
         keepers = (
@@ -395,7 +404,15 @@ def minhash_near_dups(
             .select(id_col)
         )
         df = df.join(keepers, id_col, "inner")
+        if persist_intermediates:
+            from pyspark.storagelevel import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    if persist_intermediates:
+        from pyspark.storagelevel import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidates(sigs, id_col, bands, bucket_cap)
     est_min = int(np.ceil(num_perm * max(0.0, threshold - est_margin)))
     with_sigs = (

@@ -267,6 +267,58 @@ def test_embedding_near_dups_candidates_rescore(spark):
     assert got_pairs == exp_pairs
 
 
+def test_minhash_pipeline_matches_duckdb(spark, docs_df):
+    """Full funnel (prefilter -> sigs -> capped LSH -> est screen ->
+    verify) == the DuckDB HUGEINT recomputation, values included (same
+    check the driver runs at sf0.01, kept here at sf0.001 for -x -q)."""
+    from batch3dfier_spark.operators.dedup import minhash_near_dups
+    from batch3dfier_spark.plans.queries import _sql_dedup_minhash
+
+    got = (
+        minhash_near_dups(docs_df, threshold=0.5)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    exp = (
+        con.sql(_sql_dedup_minhash())
+        .df()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_simhash_pairs_match_duckdb(spark, docs_df):
+    """simhash_near_dups == the DuckDB bit-vote recomputation."""
+    from batch3dfier_spark.operators.dedup import simhash_near_dups
+    from batch3dfier_spark.plans.queries import _sql_dedup_simhash
+
+    got = (
+        simhash_near_dups(docs_df, max_hamming=8)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    exp = (
+        con.sql(_sql_dedup_simhash())
+        .df()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_ngram_pairs_match_duckdb(spark, docs_df):
     """JVM n-gram Jaccard == DuckDB list-kernel recomputation (same
     check the driver runs at sf0.01, kept here at sf0.001 for -x -q)."""
