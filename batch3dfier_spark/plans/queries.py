@@ -118,6 +118,35 @@ SELECT doc_id, tile_col, tile_row, tile_gid, tile_unit FROM ({TILE_SQL})
 """
 
 
+BUFFER = 10.0  # clip-with-overlap buffer for the multi-assignment query
+
+
+def q_tile_assign_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 buffered multi-assignment (clip-with-overlap): every doc lands
+    in EVERY tile whose buffer-expanded rect contains it — border docs
+    appear in 2-4 tiles; buffer=0 restores the exactly-one rule.  The
+    engine generates candidate col/row ranges JVM-side (sequence +
+    explode); the oracle joins against the expanded grid directly."""
+    return tiler.assign_tiles(
+        doc_geocode(_docs(spark, sf_dir)), _grid_index(), buffer=BUFFER
+    ).select("doc_id", "tile_gid", "tile_unit")
+
+
+SQL_TILE_ASSIGN_BUFFERED = f"""
+WITH grid AS (
+  SELECT (r * {GRID_N} + c + 1) AS gid,
+         't_' || CAST(r AS VARCHAR) || '_' || CAST(c AS VARCHAR) AS unit,
+         {T.xmin} + c * {WX} AS xmin, {T.ymin} + r * {WY} AS ymin,
+         {T.xmin} + (c + 1) * {WX} AS xmax, {T.ymin} + (r + 1) * {WY} AS ymax
+  FROM (SELECT UNNEST(RANGE({GRID_N})) AS c), (SELECT UNNEST(RANGE({GRID_N})) AS r)
+)
+SELECT d.doc_id, CAST(g.gid AS BIGINT) AS tile_gid, g.unit AS tile_unit
+FROM ({GEO_SQL}) d JOIN grid g
+  ON d.x >= g.xmin - {BUFFER} AND d.x < g.xmax + {BUFFER}
+ AND d.y >= g.ymin - {BUFFER} AND d.y < g.ymax + {BUFFER}
+"""
+
+
 def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: per-tile output row counts (the per-tile view cardinality)."""
     return (
@@ -1196,6 +1225,7 @@ FROM full_tbl
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
+    "tile_assign_buffered": (q_tile_assign_buffered, SQL_TILE_ASSIGN_BUFFERED),
     "tile_counts": (q_tile_counts, SQL_TILE_COUNTS),
     "tile_select": (q_tile_select, SQL_TILE_SELECT),
     "extent_filter": (q_extent_filter, SQL_EXTENT_FILTER),

@@ -130,6 +130,49 @@ def flagship_queries(spark, pages_path: str):
         ).select("url", "x", "y")
         return knn_tiles(pts, idx, k=3, keep=("url",))
 
+    def bench_dispatch():
+        # the reference's core job shape: per-tile dispatch (O10/O11) —
+        # groupBy(tile).applyInPandas worker -> per-tile parquet + one
+        # lineage row -> atomic snapshot commit.  Coarser 32x32 index so
+        # groups carry real work (~2k rows each); the 1e6-tile index
+        # stays the assignment/pruning layout.  Reported as
+        # dispatched_tiles_per_sec (the reference's own throughput unit:
+        # tiles processed per run, batch3dfierapp.py:315-319).
+        import shutil
+        import tempfile
+
+        import pandas as _pd
+
+        from batch3dfier_spark.operators.dispatch import run_tiles
+        from batch3dfier_spark.storage.tablefmt import IcebergishTable
+
+        coarse = TileIndex.regular_grid(REF_TERRITORY, 32, 32)
+        work = tiler.assign_tiles(
+            read_geo().select("url", "text", "x", "y"), coarse
+        ).where(F.col("tile_gid").isNotNull()).select("url", "text", "tile_gid")
+
+        def processor(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            out = _pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "n_tokens": pdf["text"].str.split().str.len(),
+                    "text_len": pdf["text"].str.len(),
+                }
+            )
+            return out
+
+        root = tempfile.mkdtemp(prefix="bench_dispatch_")
+        try:
+            table = IcebergishTable(root)
+            lineage = run_tiles(work, processor, table, decomposable=True,
+                                salt_key_col="url")
+            class _N:  # noqa: N801 - count() protocol shim for the timer
+                def count(self_inner):
+                    return int((lineage["status"] != "skipped").sum())
+            return _N()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
     def _warmup():
         # untimed session-infrastructure warm-up (same rationale as the
         # raw-scan warm-up in run_bench): spawn the python UDF workers
@@ -154,6 +197,7 @@ def flagship_queries(spark, pages_path: str):
         "bench_text_extract": bench_text_extract,
         "bench_extent_prune": bench_extent_prune,
         "bench_knn_ring": bench_knn_ring,
+        "bench_dispatch": bench_dispatch,
     }
 
 
@@ -221,6 +265,9 @@ def run_bench(cores: int, sf_dir: str, include_sf_queries: bool = True) -> dict:
         ),
         "tiles_per_sec": round(tiles / timings["bench_assign_counts"], 1),
         "joined_rows_per_sec": round(joined_rows / timings["bench_heights_join"], 1),
+        "dispatched_tiles_per_sec": round(
+            meta["bench_dispatch"]["rows"] / timings["bench_dispatch"], 1
+        ),
     }
     spark.stop()
     return result
