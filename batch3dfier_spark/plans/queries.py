@@ -282,6 +282,54 @@ FROM ranked WHERE rk <= 3
 """
 
 
+RING_N = 72  # 5184 tiles > knn dense_max(4096) -> exercises the ring search
+
+
+def q_knn_tiles_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-partitioned kNN through the LARGE-index tier: 5184 tiles
+    force the vectorized ring search (candidate window (2R+1)^2 per
+    point instead of a dense distance matrix).  Same output contract as
+    knn_tiles; the oracle cross-joins the full grid."""
+    df = doc_geocode(_docs(spark, sf_dir)).where(F.col("doc_id") % 100 == 0)
+    idx = TileIndex.regular_grid(T, RING_N, RING_N)
+    out = knn_tiles(df, idx, k=3, keep=("doc_id",))
+    return out.select(
+        "doc_id",
+        F.col("nn_rank").cast("int").alias("nn_rank"),
+        "nn_gid",
+        "nn_unit",
+        F.round("nn_dist", 4).alias("nn_dist"),
+    )
+
+
+_RWX = (T.xmax - T.xmin) / RING_N
+_RWY = (T.ymax - T.ymin) / RING_N
+SQL_KNN_TILES_RING = f"""
+WITH grid AS (
+  SELECT (r * {RING_N} + c + 1) AS gid,
+         't_' || CAST(r AS VARCHAR) || '_' || CAST(c AS VARCHAR) AS unit,
+         {T.xmin} + c * {_RWX} AS xmin, {T.ymin} + r * {_RWY} AS ymin,
+         {T.xmin} + (c + 1) * {_RWX} AS xmax, {T.ymin} + (r + 1) * {_RWY} AS ymax
+  FROM (SELECT UNNEST(RANGE({RING_N})) AS c), (SELECT UNNEST(RANGE({RING_N})) AS r)
+), pts AS (
+  SELECT doc_id, x, y FROM ({GEO_SQL}) WHERE doc_id % 100 = 0
+), dxy AS (
+  SELECT p.doc_id, g.gid, g.unit,
+         GREATEST(g.xmin - p.x, p.x - g.xmax, 0) AS dx,
+         GREATEST(g.ymin - p.y, p.y - g.ymax, 0) AS dy
+  FROM pts p, grid g
+), ranked AS (
+  SELECT doc_id, gid, unit, SQRT(dx * dx + dy * dy) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY SQRT(dx * dx + dy * dy), gid) AS rk
+  FROM dxy
+)
+SELECT doc_id, CAST(rk AS INT) AS nn_rank, CAST(gid AS BIGINT) AS nn_gid,
+       unit AS nn_unit, ROUND(dist, 4) AS nn_dist
+FROM ranked WHERE rk <= 3
+"""
+
+
 def q_percentile_heights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: per-tile exact percentile rollup (the heights-table analog:
     6 ground + 8 roof percentiles of n_chars)."""
@@ -1231,6 +1279,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "extent_filter": (q_extent_filter, SQL_EXTENT_FILTER),
     "neighbor_pairs": (q_neighbor_pairs, SQL_NEIGHBOR_PAIRS),
     "knn_tiles": (q_knn_tiles, SQL_KNN_TILES),
+    "knn_tiles_ring": (q_knn_tiles_ring, SQL_KNN_TILES_RING),
     "percentile_heights": (q_percentile_heights, SQL_PERCENTILE_HEIGHTS),
     "heights_join": (q_heights_join, SQL_HEIGHTS_JOIN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
