@@ -54,9 +54,10 @@ __all__ = [
 _PCT_COLS = [_pct_name("ground", p) for p in GROUND_PERCENTILES] + [
     _pct_name("roof", p) for p in ROOF_PERCENTILES
 ]
-HEIGHTS_CSV_SCHEMA = "tile_gid BIGINT, " + ", ".join(
-    f"{c} DOUBLE" for c in _PCT_COLS
-) + ", n_rows BIGINT"
+# data columns as stored IN the CSVs (tile_gid lives in the directory
+# layout, so the loader parses exactly this)
+_CSV_DATA_SCHEMA = ", ".join(f"{c} DOUBLE" for c in _PCT_COLS) + ", n_rows BIGINT"
+HEIGHTS_CSV_SCHEMA = "tile_gid BIGINT, " + _CSV_DATA_SCHEMA
 
 
 def write_worker_csvs(heights: DataFrame, out_dir: str) -> None:
@@ -77,9 +78,7 @@ def load_worker_csvs(spark: SparkSession, path: str) -> DataFrame:
     `tile_gid` comes from the directory layout."""
     return (
         spark.read.option("header", True)
-        .schema(
-            ", ".join(f"{c} DOUBLE" for c in _PCT_COLS) + ", n_rows BIGINT"
-        )
+        .schema(_CSV_DATA_SCHEMA)
         .option("basePath", path)
         .csv(f"{path}/tile_gid=*")
     )

@@ -123,6 +123,39 @@ def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _mersenne_affine(a: np.ndarray, b: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """(a * s + b) mod M EXACTLY (M = 2^61 - 1), vectorized, for
+    a, b, s < M.  A plain uint64 product wraps at 2^64 (and
+    2^64 ≡ 8 mod M, so wrap-then-mod is NOT mod) — the affine map must
+    instead split the 128-bit product into exact uint64 pieces and fold
+    the power-of-two carries with 2^61 ≡ 1 (mod M).  Broadcasting
+    shapes pass through (a[:, None] x s[None, :] etc.)."""
+    M = np.uint64(MERSENNE)
+    mask61 = np.uint64((1 << 61) - 1)
+    mask32 = np.uint64(0xFFFFFFFF)
+    a = np.asarray(a, dtype=np.uint64)
+    s = np.asarray(s, dtype=np.uint64)
+    a_hi, a_lo = a >> np.uint64(32), a & mask32
+    s_hi, s_lo = s >> np.uint64(32), s & mask32
+    p0 = a_lo * s_lo                    # < 2^64: exact
+    p1 = a_lo * s_hi + a_hi * s_lo      # < 2^62: exact
+    p2 = a_hi * s_hi                    # < 2^58: exact
+    # product = p2*2^64 + p1*2^32 + p0; fold mod M:
+    #   p2*2^64 ≡ p2*8;  p1*2^32 = (p1>>29)*2^61 + (p1&(2^29-1))*2^32
+    #                  ≡ (p1>>29) + (p1 & (2^29-1))*2^32
+    #   p0 ≡ (p0 & (2^61-1)) + (p0 >> 61)
+    total = (
+        (p0 & mask61) + (p0 >> np.uint64(61))
+        + (p2 << np.uint64(3))
+        + (p1 >> np.uint64(29))
+        + ((p1 & np.uint64((1 << 29) - 1)) << np.uint64(32))
+        + np.asarray(b, dtype=np.uint64)
+    )  # < 5*2^61 < 2^64: exact
+    total = (total & mask61) + (total >> np.uint64(61))
+    total = (total & mask61) + (total >> np.uint64(61))
+    return np.where(total >= M, total - M, total)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -147,8 +180,12 @@ def minhash_signatures(
             sigs = np.empty((len(pdf), len(aa)), dtype=np.int64)
             for i, text in enumerate(pdf[text_col]):
                 sh = _shingle_hashes(text or "", shingle_k).astype(np.uint64)
-                # (num_perm, n_shingles) affine map mod Mersenne prime
-                vals = (aa[:, None] * (sh[None, :] % M) + bb[:, None]) % M
+                # (num_perm, n_shingles) EXACT affine map mod the
+                # Mersenne prime (a plain uint64 product would wrap
+                # at 2^64 and diverge from the HUGEINT SQL oracle)
+                vals = _mersenne_affine(
+                    aa[:, None], bb[:, None], sh[None, :] % M
+                )
                 sigs[i] = vals.min(axis=1).astype(np.int64)
             yield pd.DataFrame({id_col: out_ids, "signature": list(sigs)})
 
@@ -414,6 +451,7 @@ def minhash_near_dups(
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidates(sigs, id_col, bands, bucket_cap)
+    persisted = [h for h in (df, sigs) if persist_intermediates]
     est_min = int(np.ceil(num_perm * max(0.0, threshold - est_margin)))
     with_sigs = (
         cands.join(
@@ -435,9 +473,14 @@ def minhash_near_dups(
     screened = with_sigs.where(est_matches >= F.lit(est_min)).select(
         "id_a", "id_b"
     )
-    return verified_near_dups(
+    out = verified_near_dups(
         df, screened, text_col, id_col, shingle_k, threshold
     ).select("id_a", "id_b", "jaccard")
+    # the lazy result cannot unpersist before its action runs; expose
+    # the handles so long-lived sessions can free the cache afterwards
+    # (bench clears the whole cache between queries)
+    out._persisted_intermediates = persisted  # type: ignore[attr-defined]
+    return out
 
 
 def simhash_near_dups(

@@ -158,15 +158,20 @@ def knn_tiles(
     )
 
     def _emit(pdf: pd.DataFrame, rows: np.ndarray, gid: np.ndarray,
-              dist: np.ndarray, u: np.ndarray, kk: int) -> pd.DataFrame:
+              dist: np.ndarray, unit_of_gid, kk: int) -> pd.DataFrame:
+        """The single output-assembly block for all three tiers;
+        `unit_of_gid` maps a gid array -> unit array."""
         out = pdf[cols].iloc[rows].reset_index(drop=True)
         out["nn_rank"] = np.tile(np.arange(1, kk + 1), len(pdf))
         out["nn_gid"] = gid.astype("int64")
-        # regular_grid/grid_tile_index guarantee frame order == gid
-        # order (row-major 1-based), so unit lookup is gid-1
-        out["nn_unit"] = u[gid - 1]
+        out["nn_unit"] = unit_of_gid(gid)
         out["nn_dist"] = dist
         return out
+
+    def _units_by_pos(g, u):
+        # gids may be arbitrary (non-grid indexes): map via position
+        pos = {int(gg): i for i, gg in enumerate(g)}
+        return lambda gid: u[[pos[int(gg)] for gg in gid]]
 
     def _dense_batch(pdf, px, py, r, g, u):
         og = np.argsort(g, kind="stable")  # gid-ascending candidate order
@@ -174,14 +179,7 @@ def knn_tiles(
         kk = min(k, d.shape[1])
         cand_gid = np.broadcast_to(g[og], d.shape)
         rows, gid, dist = _topk_by_dist_gid(d, cand_gid, kk)
-        out = pdf[cols].iloc[rows].reset_index(drop=True)
-        out["nn_rank"] = np.tile(np.arange(1, kk + 1), len(pdf))
-        out["nn_gid"] = gid.astype("int64")
-        # gids may be arbitrary in the dense path: map via position
-        pos = {int(gg): i for i, gg in enumerate(g)}
-        out["nn_unit"] = u[[pos[int(gg)] for gg in gid]]
-        out["nn_dist"] = dist
-        return out
+        return _emit(pdf, rows, gid, dist, _units_by_pos(g, u), kk)
 
     def _grid_ring_batch(pdf, px, py, u):
         t = grid.territory
@@ -220,10 +218,20 @@ def knn_tiles(
             d[~valid] = np.inf
             gid_m = (rrc * nx + ccc + 1).astype(np.int64)
             kth = np.partition(d, k - 1, axis=1)[:, k - 1]
-            # strict: a point on its cell edge can be EXACTLY R*min_w
-            # from an excluded tile, and the (dist, gid) tie-break could
-            # then prefer an out-of-window gid
-            ok = (valid.sum(axis=1) >= k) & (kth < R * min_w - e_p[active])
+            # Guarantee: every excluded tile is >= R cells (Chebyshev)
+            # from the point's CLAMPED cell, and since each axis gap
+            # from p is >= the corresponding gap of its clamp q plus
+            # the overshoot on the out-of-territory axes, one shows
+            # dist(p, excluded)^2 >= e_p^2 + (R*min_w)^2.  The squared
+            # form converges in O(1) rings even for points far outside
+            # the territory (whose kth ~ e_p: the old linear bound
+            # R*min_w - e_p would have escalated R to ~distance and
+            # blown the (2R+1)^2 window).  Strict: equality is
+            # attainable, and the (dist, gid) tie-break could then
+            # prefer an out-of-window gid.
+            ok = (valid.sum(axis=1) >= k) & (
+                kth * kth < e_p[active] * e_p[active] + (R * min_w) ** 2
+            )
             if R >= max(nx, ny):  # window spans the whole grid: exact
                 ok[:] = True
             if ok.any():
@@ -237,7 +245,10 @@ def knn_tiles(
         gid = np.concatenate(acc_gid)
         dist = np.concatenate(acc_dist)
         order = np.lexsort((gid, dist, rows))
-        return _emit(pdf, rows[order], gid[order], dist[order], u, k)
+        # regular_grid/grid_tile_index guarantee frame order == gid
+        # order (row-major 1-based), so unit lookup is gid-1
+        return _emit(pdf, rows[order], gid[order], dist[order],
+                     lambda gg: u[gg - 1], k)
 
     def _coarse_cell_batch(pdf, px, py, r, g, u, tree, side):
         cell = 8.0 * side
@@ -276,14 +287,8 @@ def knn_tiles(
         gid = np.concatenate(acc_gid)
         dist = np.concatenate(acc_dist)
         order = np.lexsort((gid, dist, rows))
-        rows, gid, dist = rows[order], gid[order], dist[order]
-        out = pdf[cols].iloc[rows].reset_index(drop=True)
-        out["nn_rank"] = np.tile(np.arange(1, min(k, n_tiles) + 1), len(pdf))
-        out["nn_gid"] = gid.astype("int64")
-        pos = {int(gg): i for i, gg in enumerate(g)}
-        out["nn_unit"] = u[[pos[int(gg)] for gg in gid]]
-        out["nn_dist"] = dist
-        return out
+        return _emit(pdf, rows[order], gid[order], dist[order],
+                     _units_by_pos(g, u), min(k, n_tiles))
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         r, g, u = bc.value

@@ -92,7 +92,7 @@ def cosine_topk(
     )
 
 
-QUANT = 1048576.0  # 2^20 — same quantum as dedup.embedding_near_dups
+from .dedup import QUANT  # single source of the 2^20 cross-engine quantum
 
 # projection LCG constants (closed form shared with the SQL oracle)
 _PROJ_A = 2654435761

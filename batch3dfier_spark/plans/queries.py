@@ -1139,6 +1139,7 @@ def _bag3d_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's full-table fidelity, bag3d.py:143-176).  Every derived
     attribute is a closed form of doc_id so the DuckDB oracle recomputes
     the whole thing without touching the CSVs."""
+    import os
     import tempfile
 
     import pandas as pd
@@ -1153,7 +1154,13 @@ def _bag3d_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = _assigned(spark, sf_dir)
     heights = percentile_heights(assigned, key="tile_gid", value="n_chars")
-    csv_dir = tempfile.mkdtemp(prefix="b3d_worker_csvs_")
+    # one stable dir per sf_dir, mode=overwrite: repeated invocations
+    # (bench min-of-2, oracle checks) reuse it instead of leaving an
+    # unbounded trail of mkdtemp trees in /tmp
+    csv_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"b3d_worker_csvs_{abs(hash(os.path.abspath(sf_dir)))}",
+    )
     write_worker_csvs(heights, csv_dir)
     loaded = load_worker_csvs(spark, csv_dir).withColumn(
         "tile_gid", F.col("tile_gid").cast("bigint")

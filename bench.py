@@ -247,6 +247,9 @@ def run_bench(cores: int, sf_dir: str, include_sf_queries: bool = True) -> dict:
             dt, n_rows = timed_min(lambda fn=fn: fn(spark, sf_dir))
             timings[f"q_{name}"] = round(dt, 3)
             meta[f"q_{name}"] = {"rows": n_rows}
+            # queries that persist intermediates (minhash funnel) must
+            # not accumulate cached blocks across the session
+            spark.catalog.clearCache()
 
     # headline derived metrics (BASELINE.json: tiles/sec + joined rows/sec)
     tiles = meta["bench_assign_counts"]["rows"]

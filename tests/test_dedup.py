@@ -23,15 +23,45 @@ def docs_df(spark, docs_pdf):
 
 
 def _oracle_minhash(texts, num_perm=64, k=5):
+    """Arbitrary-precision python-int recomputation of the affine map
+    (a plain numpy product wraps at 2^64 — the round-2 bug this oracle
+    now guards against)."""
     from batch3dfier_spark.operators.dedup import MERSENNE, _perm_params, _shingle_hashes
 
     a, b = _perm_params(num_perm)
-    M = np.uint64(MERSENNE)
+    aa = [int(x) for x in a]
+    bb = [int(x) for x in b]
     out = np.empty((len(texts), num_perm), dtype=np.int64)
     for i, t in enumerate(texts):
-        sh = _shingle_hashes(t or "", k).astype(np.uint64)
-        out[i] = ((a[:, None] * (sh[None, :] % M) + b[:, None]) % M).min(axis=1).astype(np.int64)
+        sh = [int(s) % MERSENNE for s in _shingle_hashes(t or "", k).astype(np.uint64).tolist()]
+        for j in range(num_perm):
+            out[i, j] = min((aa[j] * s + bb[j]) % MERSENNE for s in sh)
     return out
+
+
+def test_mersenne_affine_is_exact():
+    """The vectorized 128-bit-split modmul == python big-int arithmetic
+    on random and edge inputs (uint64 wrap would diverge on ~100% of
+    random 61-bit operands)."""
+    from batch3dfier_spark.operators.dedup import MERSENNE, _mersenne_affine
+
+    rng = np.random.RandomState(99)
+    a = rng.randint(1, MERSENNE, size=3000, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MERSENNE, size=3000, dtype=np.int64).astype(np.uint64)
+    s = rng.randint(0, MERSENNE, size=3000, dtype=np.int64).astype(np.uint64)
+    got = _mersenne_affine(a, b, s)
+    exp = np.array(
+        [(int(x) * int(y) + int(z)) % MERSENNE
+         for x, z, y in zip(a, b, s)],
+        dtype=np.uint64,
+    )
+    assert (got == exp).all()
+    edge = np.array([0, 1, MERSENNE - 1], dtype=np.uint64)
+    for av in edge[1:]:
+        for bv in edge:
+            for sv in edge:
+                g = _mersenne_affine(np.array([av]), np.array([bv]), np.array([sv]))[0]
+                assert int(g) == (int(av) * int(sv) + int(bv)) % MERSENNE
 
 
 def test_minhash_signatures_match_oracle(spark, docs_df, docs_pdf):

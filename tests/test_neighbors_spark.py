@@ -129,9 +129,20 @@ def test_knn_coarse_cell_strtree_path_matches_bruteforce(spark):
 def test_knn_million_tile_index_bounded(spark):
     """The advertised 1e6-tile scale: the ring search must complete with
     bounded candidate windows (a dense matrix would be ~50 GB) and match
-    brute force on a sample of points."""
+    brute force on a sample of points — INCLUDING points 50-500
+    tile-widths outside the territory, where the squared ring guarantee
+    must converge in O(1) rings instead of escalating R to ~distance
+    (which would allocate a ~(2R+1)^2-wide window per point)."""
     idx = TileIndex.regular_grid(T, 1000, 1000)
     xs, ys = _sample_points(1000, 1000, n_random=40)
+    w = (T.xmax - T.xmin) / 1000
+    h = (T.ymax - T.ymin) / 1000
+    far_x = np.array([T.xmax + 50 * w, T.xmin - 500 * w, T.xmax + 500 * w,
+                      (T.xmin + T.xmax) / 2, T.xmin - 50 * w])
+    far_y = np.array([(T.ymin + T.ymax) / 2, T.ymax + 50 * h, T.ymax + 500 * h,
+                      T.ymin - 500 * h, T.ymin - 50 * h])
+    xs = np.concatenate([xs, far_x])
+    ys = np.concatenate([ys, far_y])
     pdf = pd.DataFrame({"pid": np.arange(len(xs)), "x": xs, "y": ys})
     out = (
         knn_tiles(spark.createDataFrame(pdf), idx, k=3, keep=("pid",))
