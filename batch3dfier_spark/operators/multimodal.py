@@ -43,6 +43,7 @@ __all__ = [
     "attach_media",
     "decode_media_meta",
     "frame_sample",
+    "resize_frames",
     "byte_histogram_features",
     "decode_pixels",
 ]
@@ -50,6 +51,10 @@ __all__ = [
 MAGIC = b"MMB1"
 HEADER_LEN = 10
 FRAME_LEN = 32
+# the synthetic codec's raster layout: each 32-byte frame is an
+# 8-wide x 4-high grayscale grid (row-major)
+FRAME_W = 8
+FRAME_H = 4
 
 
 def _blob_fields(doc_id: int) -> tuple[int, int, int, int, str]:
@@ -169,6 +174,54 @@ def frame_sample(
         schema=(
             f"{id_col} bigint, frame_idx int, frame_off bigint, "
             "frame_len bigint, frame binary"
+        ),
+    )
+
+
+def resize_frames(
+    frames: DataFrame,
+    out_w: int = 4,
+    out_h: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Area-mean resize of sampled frames (the brief's `resize` stage):
+    consumes `frame_sample` output, interprets each frame's bytes
+    through the synthetic 8x4 grayscale raster, and pools to
+    (out_h, out_w) by exact block averaging — one numpy pass per Arrow
+    batch, the same shape a real decoded-image resize takes (only the
+    codec is the fixed-layout fake; swap the reshape for a real decode
+    and the pooling math is unchanged).  Output pixels are row-major
+    array<double> means in [0, 255]."""
+    if FRAME_W % out_w or FRAME_H % out_h:
+        raise ValueError(
+            f"(out_w, out_h) must divide ({FRAME_W}, {FRAME_H})"
+        )
+    bw, bh = FRAME_W // out_w, FRAME_H // out_h
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            raster = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["frame"]]
+            ).reshape(n, FRAME_H, FRAME_W).astype(np.float64)
+            pooled = raster.reshape(n, out_h, bh, out_w, bw).mean(axis=(2, 4))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "frame_idx": pdf["frame_idx"].to_numpy(),
+                    "out_w": np.full(n, out_w, dtype=np.int32),
+                    "out_h": np.full(n, out_h, dtype=np.int32),
+                    "pixels": list(pooled.reshape(n, -1)),
+                }
+            )
+
+    return frames.select(id_col, "frame_idx", "frame").mapInPandas(
+        rs,
+        schema=(
+            f"{id_col} bigint, frame_idx int, out_w int, out_h int, "
+            "pixels array<double>"
         ),
     )
 
