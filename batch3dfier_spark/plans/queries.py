@@ -979,6 +979,42 @@ def q_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the events file is staged TWICE into the
+    stream source (an at-least-once replay), and
+    `withWatermark + dropDuplicates` must collapse it back to exactly
+    the batch table — the oracle is simply the events table itself."""
+    import os
+    import tempfile
+
+    from ..streaming.events import dedupe_events, read_event_stream, run_stream_to_df
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"evdup_{abs(hash(src))}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    for name in ("dup1.parquet", "dup2.parquet"):
+        link = os.path.join(stage, name)
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    stream = read_event_stream(spark, stage)
+    deduped = dedupe_events(stream)
+    sink = run_stream_to_df(deduped, output_mode="append")
+    return sink.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+
+
+SQL_EVENTS_DEDUP_STREAM = """
+SELECT event_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       user_id, event_type, value
+FROM events
+"""
+
+
 SQL_USER_TOTALS_STREAM = """
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 4) AS sum_value
@@ -1303,6 +1339,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_window_stream": (q_events_window_stream, SQL_EVENTS_WINDOW),
     "user_totals_stream": (q_user_totals_stream, SQL_USER_TOTALS_STREAM),
+    "events_dedup_stream": (q_events_dedup_stream, SQL_EVENTS_DEDUP_STREAM),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "top_events": (q_top_events, SQL_TOP_EVENTS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),

@@ -74,6 +74,24 @@ class IcebergishTable:
         with open(os.path.join(self.meta_dir, name)) as f:
             return json.load(f)
 
+    def snapshot(self, snapshot_id: int) -> dict:
+        """Load a specific snapshot by id (time travel — every commit's
+        manifest is immutable, so any historical table state stays
+        readable, like Iceberg's `VERSION AS OF`)."""
+        p = os.path.join(self.meta_dir, f"snapshot-{snapshot_id:06d}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"no snapshot {snapshot_id}")
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[int]:
+        """All committed snapshot ids, ascending (the history log)."""
+        out = []
+        for n in os.listdir(self.meta_dir):
+            if n.startswith("snapshot-") and n.endswith(".json"):
+                out.append(int(n[len("snapshot-"):-len(".json")]))
+        return sorted(out)
+
     def commit(self, new_files: list[str], lineage: list[LineageRow]) -> int:
         """Atomic append commit: new snapshot = parent files + new_files,
         parent lineage + new lineage."""
@@ -124,10 +142,14 @@ class IcebergishTable:
         done = lin[lin["status"].isin(["ok", "empty", "skipped"])]
         return set(done["tile_gid"].astype(int))
 
-    def read(self, spark):
-        """Current-snapshot view as a DataFrame (reads only committed
-        files — uncommitted task output is invisible)."""
-        fs = self.files()
+    def read(self, spark, snapshot_id: int | None = None):
+        """Committed-snapshot view as a DataFrame (reads only committed
+        files — uncommitted task output is invisible).  snapshot_id
+        reads the table AS OF that commit (time travel)."""
+        if snapshot_id is None:
+            fs = self.files()
+        else:
+            fs = self.snapshot(snapshot_id)["files"]
         if not fs:
             raise ValueError("empty table (no committed snapshot)")
         return spark.read.parquet(*fs)

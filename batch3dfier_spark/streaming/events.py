@@ -48,6 +48,7 @@ __all__ = [
     "EVENT_SCHEMA",
     "read_event_stream",
     "hourly_counts",
+    "dedupe_events",
     "user_running_totals",
     "run_stream_to_df",
 ]
@@ -101,6 +102,20 @@ def hourly_counts(
             "n_events",
             "avg_value",
         )
+    )
+
+
+def dedupe_events(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exactly-once-per-event_id deduplication:
+    `withWatermark + dropDuplicates([event_id, ts])` — state holds one
+    entry per key and the watermark bounds it (keys older than the
+    watermark are evicted, so state is O(keys within the watermark
+    window), the standard streaming-dedup pattern).  Append-mode output
+    over a replay-with-duplicates source equals the batch DISTINCT."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id", "ts"]
     )
 
 

@@ -176,3 +176,24 @@ def test_salted_split_bounds_group_size(spark):
     assert hot["count"].max() <= 2000
     cold = sizes[sizes["tile_gid"] != 1]
     assert (cold["salt"] == 0).all()
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Every commit's manifest stays readable: reading AS OF snapshot N
+    returns exactly the table state after commit N (Iceberg's
+    VERSION AS OF over the snapshot log)."""
+    pdf1 = pd.DataFrame({"url": ["a", "b"], "text": ["x y", "z w v"],
+                         "tile_gid": [1, 2]})
+    pdf2 = pd.DataFrame({"url": ["c"], "text": ["q"], "tile_gid": [3]})
+    table = IcebergishTable(str(tmp_path / "tt"))
+    run_tiles(spark.createDataFrame(pdf1), tile_processor, table)
+    run_tiles(spark.createDataFrame(pdf2), tile_processor, table)
+    assert table.snapshots() == [1, 2]
+    as_of_1 = table.read(spark, snapshot_id=1).toPandas()
+    assert sorted(as_of_1["url"]) == ["a", "b"]
+    current = table.read(spark).toPandas()
+    assert sorted(current["url"]) == ["a", "b", "c"]
+    # lineage history also travels
+    assert set(table.snapshot(1)["lineage"][0].keys()) >= {
+        "tile_gid", "rows_in", "rows_out", "status", "work_order"
+    }
