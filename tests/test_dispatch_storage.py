@@ -197,3 +197,115 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert set(table.snapshot(1)["lineage"][0].keys()) >= {
         "tile_gid", "rows_in", "rows_out", "status", "work_order"
     }
+
+
+def test_metadata_grows_linearly_not_quadratically(tmp_path):
+    """Manifest-list indirection (round-3 VERDICT #1): each commit
+    serializes ONLY its own additions, so total metadata bytes across n
+    commits are O(rows written), not O(n^2), and the per-commit write is
+    O(new) regardless of table history."""
+    import os
+
+    from batch3dfier_spark.storage.tablefmt import LineageRow
+
+    table = IcebergishTable(str(tmp_path / "big"))
+    n = 1000
+    for i in range(n):
+        table.commit(
+            [f"/data/tile_gid={i}/part-{i}.parquet"],
+            [LineageRow(tile_gid=i, partition_id=0, rows_in=10,
+                        rows_out=10, wall_ms=1.0, status="ok")],
+        )
+    meta = table.meta_dir
+    sizes = {f: os.path.getsize(os.path.join(meta, f))
+             for f in os.listdir(meta)}
+    total = sum(sizes.values())
+    # Old format: snapshot k carried k files + k lineage rows -> ~100 MB
+    # total at n=1000.  New format: one ~300 B manifest + one ~90 B
+    # pointer per commit -> well under 2 MB.
+    assert total < 2_000_000, f"metadata total {total} bytes is superlinear"
+    # Per-commit metadata is O(1)+O(new): the LAST commit's snapshot and
+    # manifest are no bigger than an early commit's (+slack for digits).
+    first_snap = sizes["snapshot-000001.json"]
+    last_snap = sizes[f"snapshot-{n:06d}.json"]
+    assert last_snap <= first_snap + 16
+    man_sizes = sorted(v for k, v in sizes.items() if k.startswith("manifest-"))
+    assert man_sizes[-1] <= man_sizes[0] + 32
+    # Full history still resolves
+    assert len(table.files()) == n
+    lin = table.lineage()
+    assert len(lin) == n
+    assert table.completed_tiles() == set(range(n))
+    # and time travel reaches any mid-chain state
+    mid = table.snapshot(500)
+    assert len(mid["files"]) == 500
+    assert len(mid["lineage"]) == 500
+
+
+def test_legacy_inline_snapshot_still_readable(tmp_path):
+    """Pre-round-3 snapshots carried cumulative inline files/lineage;
+    the chain walk must treat one as a base and layer manifests on top."""
+    import json
+    import os
+
+    from batch3dfier_spark.storage.tablefmt import LineageRow
+
+    table = IcebergishTable(str(tmp_path / "legacy"))
+    legacy = {
+        "snapshot_id": 1,
+        "parent": None,
+        "files": ["/old/a.parquet", "/old/b.parquet"],
+        "lineage": [{"tile_gid": 7, "partition_id": 0, "rows_in": 2,
+                     "rows_out": 2, "wall_ms": 1.0, "status": "ok",
+                     "snapshot_id": 1, "work_order": ""}],
+    }
+    with open(os.path.join(table.meta_dir, "snapshot-000001.json"), "w") as f:
+        json.dump(legacy, f)
+    with open(os.path.join(table.meta_dir, "CURRENT"), "w") as f:
+        f.write("snapshot-000001.json")
+    assert table.files() == ["/old/a.parquet", "/old/b.parquet"]
+    assert table.completed_tiles() == {7}
+    sid = table.commit(
+        ["/new/c.parquet"],
+        [LineageRow(tile_gid=8, partition_id=0, rows_in=1, rows_out=1,
+                    wall_ms=1.0, status="ok")],
+    )
+    assert sid == 2
+    assert table.files() == ["/old/a.parquet", "/old/b.parquet",
+                             "/new/c.parquet"]
+    assert table.completed_tiles() == {7, 8}
+    # time travel to the legacy base still works
+    assert table.snapshot(1)["files"] == ["/old/a.parquet", "/old/b.parquet"]
+
+
+def test_export_snapshot_round_trip(spark, tmp_path):
+    """S9 (reference bag3d.py:239-329 pg_dump/GPKG dump): exporting a
+    snapshot yields a self-contained artifact that reads back equal to
+    `table.read(spark, snapshot_id)` and carries the lineage history."""
+    import os
+
+    pdf1 = pd.DataFrame({"url": ["a", "b"], "text": ["x y", "z w v"],
+                         "tile_gid": [1, 2]})
+    pdf2 = pd.DataFrame({"url": ["c"], "text": ["q"], "tile_gid": [3]})
+    table = IcebergishTable(str(tmp_path / "src"))
+    run_tiles(spark.createDataFrame(pdf1), tile_processor, table)
+    run_tiles(spark.createDataFrame(pdf2), tile_processor, table)
+
+    # export the historical snapshot 1, not current
+    out1 = table.export_snapshot(1, str(tmp_path / "art1"))
+    back1 = IcebergishTable(out1).read(spark).orderBy("url").toPandas()
+    exp1 = table.read(spark, snapshot_id=1).orderBy("url").toPandas()
+    pd.testing.assert_frame_equal(back1, exp1)
+
+    # export current (snapshot 2)
+    out2 = table.export_snapshot(None, str(tmp_path / "art2"))
+    art2 = IcebergishTable(out2)
+    back2 = art2.read(spark).orderBy("url").toPandas()
+    exp2 = table.read(spark).orderBy("url").toPandas()
+    pd.testing.assert_frame_equal(back2, exp2)
+    # lineage history travels with the artifact (both commits' rows)
+    assert sorted(art2.lineage()["snapshot_id"].unique()) == [1, 2]
+    assert os.path.exists(os.path.join(out2, "lineage.csv"))
+    # artifact is self-contained: no absolute path into the source table
+    for fpath in art2.files():
+        assert fpath.startswith(out2)
