@@ -68,12 +68,35 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     return df.repartition(want)
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact near-zero-cost dedup: group by sha2(text); keeper = min id.
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_window: bool = True,
+) -> DataFrame:
+    """Exact near-zero-cost dedup: keeper = min id per sha2(text) group.
     Returns (id, text_sha, group_size, is_dup) — is_dup marks rows to
-    drop.  Pure JVM: one shuffle."""
+    drop.  Pure JVM.
+
+    Default shape is min/count over a whole-partition window: ONE
+    shuffle of the 64-hex sha (the widest shuffle key in the dedup
+    funnel, so shuffling it twice matters at 100 TB).  The window frame
+    is unordered (entire partition), so the only added cost is the
+    within-partition sort on text_sha.  `use_window=False` falls back to
+    the groupBy + join-back shape (two narrower-payload shuffles, no
+    sort) if that sort ever dominates on a given corpus."""
     h = F.sha2(F.col(text_col), 256).alias("text_sha")
     with_h = df.select(F.col(id_col), h)
+    if use_window:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("text_sha")
+        return with_h.select(
+            id_col,
+            "text_sha",
+            F.count(F.lit(1)).over(w).alias("group_size"),
+            (F.col(id_col) != F.min(id_col).over(w)).alias("is_dup"),
+        )
     groups = with_h.groupBy("text_sha").agg(
         F.min(id_col).alias("keeper_id"),
         F.count(F.lit(1)).alias("group_size"),
@@ -420,9 +443,13 @@ def minhash_near_dups(
        is common (a 4-row band matches with prob j^4), so candidate
        pairs are first screened on the signatures they already carry —
        keep pairs with >= ceil(num_perm*(threshold - est_margin))
-       matching components.  Pure JVM integer comparisons (zip_with +
-       aggregate): deterministic, exactly mirrored by the SQL oracle,
-       and it cuts the exact-verify stage by ~99% on web-ish corpora.
+       matching components.  Arrow-batched numpy integer comparison
+       (one (rows x num_perm) == per batch): deterministic, exactly
+       mirrored by the SQL oracle, and it cuts the exact-verify stage
+       by ~99% on web-ish corpora.  (A zip_with/aggregate lambda did
+       this JVM-side before, but lambda exprs defeat the codegen cache
+       — seconds of janino compile per fresh plan for microseconds of
+       saved Arrow transfer.)
     4. exact shingle-Jaccard verification of the survivors only.
 
     persist_intermediates puts a MEMORY_AND_DISK barrier under the
@@ -434,6 +461,7 @@ def minhash_near_dups(
     tile view.
 
     Returns (id_a, id_b, jaccard) for near-dup keeper pairs."""
+    persisted = []  # appended exactly where persist() is called
     if prefilter_exact:
         keepers = (
             exact_dedup(df, text_col, id_col)
@@ -445,13 +473,14 @@ def minhash_near_dups(
             from pyspark.storagelevel import StorageLevel
 
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(df)
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
     if persist_intermediates:
         from pyspark.storagelevel import StorageLevel
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(sigs)
     cands = lsh_candidates(sigs, id_col, bands, bucket_cap)
-    persisted = [h for h in (df, sigs) if persist_intermediates]
     est_min = int(np.ceil(num_perm * max(0.0, threshold - est_margin)))
     with_sigs = (
         cands.join(
@@ -462,17 +491,18 @@ def minhash_near_dups(
             "id_b",
         )
     )
-    est_matches = F.aggregate(
-        F.zip_with(
-            F.col("_siga"), F.col("_sigb"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    screened = with_sigs.where(est_matches >= F.lit(est_min)).select(
-        "id_a", "id_b"
-    )
+
+    def _est_matches(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.array([], dtype=np.int32))
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        return pd.Series((A == B).sum(axis=1).astype(np.int32))
+
+    est_matches = F.pandas_udf(_est_matches, "int")
+    screened = with_sigs.where(
+        est_matches(F.col("_siga"), F.col("_sigb")) >= F.lit(est_min)
+    ).select("id_a", "id_b")
     out = verified_near_dups(
         df, screened, text_col, id_col, shingle_k, threshold
     ).select("id_a", "id_b", "jaccard")
@@ -552,6 +582,7 @@ def ngram_jaccard_pairs(
     len_block_col: str = "n_chars",
     len_block_width: int = 64,
     block_cap: int | None = 4096,
+    pair_chunk_budget: int = 16_000_000,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs.
 
@@ -564,75 +595,140 @@ def ngram_jaccard_pairs(
     verify funnel as MinHash LSH with the block key playing the band
     hash.
 
-    Grams are built with higher-order functions (split -> transform/
-    slice/concat_ws -> array_distinct): whole-stage codegen, no Python;
-    the within-block all-pairs verification runs in numpy on int64 gram
-    hashes.
+    The whole operator is ONE narrow JVM projection + one shuffle on the
+    block key + one Arrow-batched grouped kernel.  Gram building and
+    verification both live in the kernel: grams are hashed to stable
+    64-bit ints (`pd.util.hash_array` siphash, PYTHONHASHSEED-free) —
+    Jaccard on distinct hashes equals Jaccard on distinct strings
+    (collisions ~1e-13/doc; the SQL oracle intersects the strings
+    directly, counts agree) — then verified by a vectorized
+    inverted-index co-occurrence count (sort-group the concatenated
+    grams, bulk-expand each shared gram's i<j doc pairs, bincount into
+    an intersection matrix): O(total co-occurrences) numpy work, peak
+    scratch bounded by `pair_chunk_budget` pairs, no per-pair Python.
+    A previous revision built grams JVM-side with higher-order
+    `transform` lambdas; lambda exprs defeat the codegen cache, costing
+    multiple seconds of janino compilation on EVERY fresh plan — far
+    more than this operator's execution — so gram work moved to the
+    kernel where it is batch-vectorized anyway.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # grams are folded to xxhash64 ints before the pair join: Jaccard on
-    # distinct hashes equals Jaccard on distinct strings (64-bit
-    # collisions are ~1e-13 per doc), and int set-intersection is far
-    # cheaper than string comparison in the hot pair loop.  The oracle
-    # intersects the strings directly — counts agree.
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
     blk = F.floor(F.col(len_block_col) / F.lit(len_block_width)).alias("_blk")
     t = df.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], blk, grams.alias("_grams")
+        F.col(id_col), *[F.col(c) for c in block_cols], blk, F.col(text_col)
     )
-    if block_cap is not None:
-        # a hot block makes the within-block pair loop quadratic; keep
-        # the lowest `block_cap` ids per block — deterministic, mirrored
-        # by the SQL oracle's ROW_NUMBER, and the window reuses the same
-        # hash partitioning as the grouped apply below (one shuffle)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*block_cols, "_blk").orderBy(F.col(id_col))
-        t = (
-            t.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= block_cap)
-            .drop("_rn")
-        )
-    # pair + verify per block group: each doc's gram array ships ONCE
-    # (not once per candidate pair), then all-pairs set intersection in
+    # Hot-block cap: keep the lowest `block_cap` ids per block —
+    # deterministic, mirrored by the SQL oracle's ROW_NUMBER.  Applied
+    # INSIDE the grouped kernel (after the one shuffle on the block key)
+    # rather than via a row_number window: the window would ride the
+    # same exchange, so it saves no network, but it adds a whole
+    # codegen'd Sort+Window stage whose per-query planning cost dwarfs
+    # this operator's execution at interactive scales.
+    # pair + verify per block group: each doc's text ships ONCE (not
+    # once per candidate pair), then gram build + set intersection in
     # numpy inside the group.  Jaccard is left UNROUNDED: i and u are
     # exact integers, so one IEEE division gives a bit-identical double
     # in numpy and in the SQL twin — rounding would only reintroduce
     # tie-rule mismatches (half-even vs half-up at exact-binary ties
     # like 1/128).
     def pair_verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        )
         n_docs = len(pdf)
         if n_docs < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
-            )
+            return empty
         order = np.argsort(pdf[id_col].to_numpy())
+        if block_cap is not None and n_docs > block_cap:
+            order = order[:block_cap]
+            n_docs = block_cap
         ids = pdf[id_col].to_numpy()[order]
-        grams = [np.sort(np.asarray(g, dtype=np.int64)) for g in pdf["_grams"].iloc[order]]
-        ia, ib, jac = [], [], []
-        for i_a in range(n_docs):
-            ga = grams[i_a]
-            for i_b in range(i_a + 1, n_docs):
-                gb = grams[i_b]
-                inter = np.intersect1d(ga, gb, assume_unique=True).size
-                union = ga.size + gb.size - inter
-                if union and inter / union >= threshold:
-                    ia.append(ids[i_a])
-                    ib.append(ids[i_b])
-                    jac.append(inter / union)
+        # gram build: O(docs) Python tokenization (NOT O(pairs)), then
+        # one vectorized stable hash over every gram string at once —
+        # pd.util.hash_array's fixed-key siphash is deterministic across
+        # workers/processes, unlike builtin hash()
+        gram_strs: list[str] = []
+        per_doc = np.zeros(n_docs, dtype=np.int64)
+        for k, txt in enumerate(pdf[text_col].iloc[order]):
+            toks = txt.split() if isinstance(txt, str) else []
+            # str.split() == split(trim(text), '\s+') on ASCII corpora
+            m = len(toks) - (n - 1)
+            if m > 0:
+                gram_strs.extend(
+                    " ".join(toks[i:i + n]) for i in range(m))
+                per_doc[k] = m
+        total = len(gram_strs)
+        if total == 0:
+            return empty
+        h = pd.util.hash_array(
+            np.asarray(gram_strs, dtype=object)).view(np.int64)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+        # within-doc distinct (Jaccard is over gram SETS): sort by
+        # (doc, hash), drop adjacent duplicates
+        o_dd = np.lexsort((h, doc_of))
+        h, doc_of = h[o_dd], doc_of[o_dd]
+        keep_dd = np.r_[True, (h[1:] != h[:-1]) | (doc_of[1:] != doc_of[:-1])]
+        h, doc_of = h[keep_dd], doc_of[keep_dd]
+        sizes = np.bincount(doc_of, minlength=n_docs)
+        # Inverted-index co-occurrence count, fully vectorized (no
+        # per-pair Python): sort all distinct gram hashes so each shared
+        # gram becomes one contiguous group whose doc indices stay
+        # ASCENDING, then expand each group's i<j index pairs in bulk
+        # and bincount them into a dense doc x doc intersection matrix.
+        # |grams_a ∩ grams_b| == number of gram groups containing both
+        # docs, because grams are distinct within a doc.
+        o = np.lexsort((doc_of, h))
+        g_sorted, d_sorted = h[o], doc_of[o]
+        bounds = np.flatnonzero(
+            np.r_[True, g_sorted[1:] != g_sorted[:-1], True]
+        )
+        g_starts, g_lens = bounds[:-1], np.diff(bounds)
+        multi = g_lens >= 2  # grams held by a single doc pair with no one
+        g_starts, g_lens = g_starts[multi], g_lens[multi]
+        counts = np.zeros(n_docs * n_docs, dtype=np.int64)
+        if g_starts.size:
+            pair_per_group = g_lens * (g_lens - 1) // 2
+            cum = np.cumsum(pair_per_group)
+            # bound peak pair-expansion memory: slice the group list so
+            # each chunk expands at most ~16M (a,b) pairs (256 MB of
+            # int64 scratch), accumulating into `counts` between chunks
+            budget = pair_chunk_budget
+            cut_idx = np.searchsorted(cum, np.arange(budget, cum[-1], budget))
+            chunks = np.r_[0, cut_idx + 1, g_starts.size]
+            chunks = np.unique(chunks)
+            for lo, hi in zip(chunks[:-1], chunks[1:]):
+                ls, ll, lp = g_starts[lo:hi], g_lens[lo:hi], pair_per_group[lo:hi]
+                n_pairs = int(lp.sum())
+                if n_pairs == 0:
+                    continue
+                grp = np.repeat(np.arange(ls.size), lp)
+                # rank of each pair within its group, 0..lp[grp]-1
+                off = np.cumsum(lp) - lp
+                r = np.arange(n_pairs, dtype=np.int64) - off[grp]
+                # triangular inverse: enumerate pairs as (i<j) ordered by
+                # j — rank r -> j = max m with m(m-1)/2 <= r, i = rest;
+                # float sqrt + integer correction keeps it exact
+                j = ((1.0 + np.sqrt(1.0 + 8.0 * r)) / 2.0).astype(np.int64)
+                j -= j * (j - 1) // 2 > r
+                j += (j + 1) * j // 2 <= r
+                i = r - j * (j - 1) // 2
+                a = d_sorted[ls[grp] + i]
+                b = d_sorted[ls[grp] + j]
+                counts += np.bincount(a * n_docs + b, minlength=n_docs * n_docs)
+        nz = np.flatnonzero(counts)
+        if nz.size == 0:
+            return empty
+        a_idx, b_idx = nz // n_docs, nz % n_docs
+        inter = counts[nz]
+        union = sizes[a_idx] + sizes[b_idx] - inter
+        # Jaccard from exact integers: one IEEE division, bit-identical
+        # to the SQL twin (same rationale as the loop it replaces)
+        jac = inter / union
+        keep = jac >= threshold
         return pd.DataFrame(
             {
-                "id_a": pd.Series(ia, dtype="int64"),
-                "id_b": pd.Series(ib, dtype="int64"),
-                "jaccard": pd.Series(jac, dtype="float64"),
+                "id_a": pd.Series(ids[a_idx[keep]], dtype="int64"),
+                "id_b": pd.Series(ids[b_idx[keep]], dtype="int64"),
+                "jaccard": pd.Series(jac[keep], dtype="float64"),
             }
         )
 

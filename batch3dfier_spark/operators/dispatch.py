@@ -138,7 +138,9 @@ def run_tiles(
             rows_in=("rows_in", "sum"),
             rows_out=("rows_out", "sum"),
             wall_ms=("wall_ms", "max"),
-            n_parts=("path", "size"),
+            # written parts only: empty (tile, salt) subgroups carry
+            # path == "" and are not parquet parts
+            n_parts=("path", lambda s: int((s != "").sum())),
             any_ok=("status", lambda s: (s == "ok").any()),
         )
         rows = [

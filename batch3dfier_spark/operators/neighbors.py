@@ -212,8 +212,13 @@ def knn_tiles(
             rrc = np.clip(rr, 0, ny - 1)
             rx0 = t.xmin + ccc * wx
             ry0 = t.ymin + rrc * wy
-            dx = np.maximum(np.maximum(rx0 - ax[:, None], ax[:, None] - (rx0 + wx)), 0.0)
-            dy = np.maximum(np.maximum(ry0 - ay[:, None], ay[:, None] - (ry0 + wy)), 0.0)
+            # far edges as xmin + (c+1)*w — the SAME expression the
+            # dense tier and the SQL oracle evaluate; (xmin + c*w) + w
+            # can differ by one ulp and flip near-exact distance ties
+            rx1 = t.xmin + (ccc + 1) * wx
+            ry1 = t.ymin + (rrc + 1) * wy
+            dx = np.maximum(np.maximum(rx0 - ax[:, None], ax[:, None] - rx1), 0.0)
+            dy = np.maximum(np.maximum(ry0 - ay[:, None], ay[:, None] - ry1), 0.0)
             d = np.sqrt(dx * dx + dy * dy)
             d[~valid] = np.inf
             gid_m = (rrc * nx + ccc + 1).astype(np.int64)

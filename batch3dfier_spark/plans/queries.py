@@ -562,6 +562,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_minhash() -> str:
+    # ASCII-ONLY ORACLE ASSUMPTION (shared by _sql_dedup_simhash and
+    # _sql_ann_lsh band hashing): these SQL twins hash per-CHARACTER via
+    # ascii(text[i:i]) and truncate tokens at 32 CHARACTERS, while the
+    # engine hashes UTF-8 BYTES truncated at 32 BYTES.  The two agree
+    # exactly iff the corpus is pure ASCII — true for the driver-
+    # generated documents fixture (TESTDATA.md) and asserted in
+    # tests/test_dedup.py::test_corpus_is_ascii so the invariant is
+    # enforced, not incidental.  Non-ASCII corpora need a byte-level
+    # oracle (unnest(encode(text)) in DuckDB) before trusting hashes.
     from ..operators.dedup import MERSENNE, _perm_params, _token_weights
 
     cap = 128
@@ -985,15 +994,14 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     `withWatermark + dropDuplicates` must collapse it back to exactly
     the batch table — the oracle is simply the events table itself."""
     import os
-    import tempfile
 
+    from ..scratch import scratch_dir
     from ..streaming.events import dedupe_events, read_event_stream, run_stream_to_df
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
-    stage = os.path.join(
-        tempfile.gettempdir(), f"evdup_{abs(hash(src))}"
-    )
-    os.makedirs(stage, exist_ok=True)
+    # digest-keyed: stable across processes (hash(str) is randomized
+    # per process and would leak a fresh tree per run)
+    stage = scratch_dir("evdup", src)
     for name in ("dup1.parquet", "dup2.parquet"):
         link = os.path.join(stage, name)
         if not os.path.exists(link):
@@ -1176,7 +1184,6 @@ def _bag3d_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute is a closed form of doc_id so the DuckDB oracle recomputes
     the whole thing without touching the CSVs."""
     import os
-    import tempfile
 
     import pandas as pd
 
@@ -1192,11 +1199,11 @@ def _bag3d_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     heights = percentile_heights(assigned, key="tile_gid", value="n_chars")
     # one stable dir per sf_dir, mode=overwrite: repeated invocations
     # (bench min-of-2, oracle checks) reuse it instead of leaving an
-    # unbounded trail of mkdtemp trees in /tmp
-    csv_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"b3d_worker_csvs_{abs(hash(os.path.abspath(sf_dir)))}",
-    )
+    # unbounded trail of mkdtemp trees in /tmp; digest-keyed so the
+    # reuse holds ACROSS driver processes too
+    from ..scratch import scratch_dir
+
+    csv_dir = scratch_dir("b3d_worker_csvs", os.path.abspath(sf_dir))
     write_worker_csvs(heights, csv_dir)
     loaded = load_worker_csvs(spark, csv_dir).withColumn(
         "tile_gid", F.col("tile_gid").cast("bigint")

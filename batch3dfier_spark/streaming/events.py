@@ -27,7 +27,6 @@ file layout.  File-source backpressure via maxFilesPerTrigger.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 from typing import Iterator
 
@@ -73,8 +72,15 @@ def read_event_stream(
     fixtures) is staged into a temp directory via symlink, since the
     file source requires a directory."""
     if os.path.isfile(path):
-        stage = tempfile.mkdtemp(prefix="evstream_")
-        os.symlink(path, os.path.join(stage, os.path.basename(path)))
+        # digest-keyed stable stage dir: reruns (bench min-of-N, oracle
+        # checks, new driver processes) reuse ONE dir per source file
+        # instead of leaking a fresh mkdtemp tree each call
+        from ..scratch import scratch_dir
+
+        stage = scratch_dir("evstream", os.path.abspath(path))
+        link = os.path.join(stage, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(path, link)
         path = stage
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if max_files_per_trigger is not None:
@@ -167,16 +173,29 @@ def run_stream_to_df(
     materialize)."""
     spark = stream_df.sparkSession
     name = "s" + uuid.uuid4().hex[:12]
-    ckpt = checkpoint_dir or os.path.join(
-        tempfile.gettempdir(), f"ckpt_{name}"
-    )
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # checkpoints must be FRESH per drain (reusing offsets would make a
+    # rerun skip data), so each gets a throwaway dir under the scratch
+    # root, removed once the drain finishes
+    own_ckpt = checkpoint_dir is None
+    if own_ckpt:
+        from ..scratch import fresh_scratch_dir
+
+        ckpt = fresh_scratch_dir("ckpt")
+    else:
+        ckpt = checkpoint_dir
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if own_ckpt:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)

@@ -372,3 +372,75 @@ def test_ngram_pairs_match_duckdb(spark, docs_df):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_ngram_vectorized_verify_matches_bruteforce(spark):
+    """The inverted-index co-occurrence kernel must equal brute-force
+    pairwise Jaccard, including with a tiny pair_chunk_budget that
+    forces the multi-chunk accumulation path and with hot shared grams
+    + zero-gram docs in the block."""
+    import itertools
+
+    rng = np.random.default_rng(7)
+    base = ["alpha beta gamma delta epsilon zeta eta theta"] * 3
+    docs = []
+    for i in range(40):
+        words = ["alpha", "beta", "gamma"] + [
+            f"w{rng.integers(0, 12)}" for _ in range(int(rng.integers(3, 12)))
+        ]
+        docs.append(" ".join(words))
+    docs += base            # exact triplet -> jaccard 1.0 pairs
+    docs += ["one two"]     # < n tokens -> zero grams
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "n_chars": [10] * len(docs),  # single length block
+        }
+    )
+    from batch3dfier_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(pdf)
+    got = (
+        ngram_jaccard_pairs(df, n=3, threshold=0.3, pair_chunk_budget=50)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+    # brute force on word trigram sets
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    exp_rows = []
+    gsets = {int(r.doc_id): grams(r.text) for r in pdf.itertuples()}
+    for a, b in itertools.combinations(sorted(gsets), 2):
+        ga, gb = gsets[a], gsets[b]
+        u = len(ga | gb)
+        if u and len(ga & gb) / u >= 0.3:
+            exp_rows.append((a, b, len(ga & gb) / u))
+    exp = pd.DataFrame(exp_rows, columns=["id_a", "id_b", "jaccard"])
+    exp = exp.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(exp) > 3  # the fixture really produces near-dups
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_corpus_is_ascii():
+    """The minhash/simhash/LSH SQL oracles hash per-character via
+    ascii(); they equal the engine's UTF-8-byte hashing only on pure
+    ASCII text.  Enforce the invariant on every fixture scale present
+    (see plans/queries._sql_dedup_minhash)."""
+    import glob
+    import os
+
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        p = os.path.join(sf_dir, "documents.parquet")
+        if not os.path.exists(p):
+            continue
+        bad = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{p}') "
+            "WHERE text != encode(text)::VARCHAR OR octet_length(encode(text)) != length(text)"
+        ).fetchone()[0]
+        assert bad == 0, f"non-ASCII text in {p}"
