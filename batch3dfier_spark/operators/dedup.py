@@ -49,6 +49,7 @@ __all__ = [
     "shingle_set",
     "ngram_jaccard_pairs",
     "embedding_near_dups",
+    "embedding_near_dups_lsh",
 ]
 
 MERSENNE = (1 << 61) - 1
@@ -879,4 +880,51 @@ def embedding_near_dups(
 
     return joined.mapInPandas(
         score, schema="id_a bigint, id_b bigint, cosine double"
+    )
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    tables: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB embedding near-dup pipeline, end to end: hyperplane
+    LSH buckets (similarity.hyperplane_signatures) -> unordered
+    same-bucket candidate pairs -> exact quantized re-scoring via
+    `embedding_near_dups(candidates=...)`.  The O(N^2) all-pairs path is
+    never constructed — corpus size only affects the bucket join, which
+    shuffles on (table_id, bucket) keys.
+
+    Collision math (see lsh_ann_topk): a pair at angle theta collides in
+    one table with p = (1 - theta/pi)^n_planes; recall ~= 1-(1-p)^tables.
+    The defaults (4 planes x 24 tables) measure 0.97 recall at cosine
+    0.4 on the fixture corpus (gated >= 0.95 in
+    tests/test_similarity.py) — LOW thresholds need FEW planes (p
+    collapses as theta grows), which is why this is 4 planes where the
+    ANN top-k path uses 6.  The flip side: random (orthogonal) pairs
+    collide with 1-(1-2^-4)^24 ~= 0.79 at these settings, so a 0.4
+    threshold prunes only ~22% — that IS the theory optimum for so
+    loose a cut.  Real near-dup thresholds (>= 0.9, theta <= 26deg)
+    support 8-12 planes, where random-pair collision drops to ~1% and
+    the funnel prunes ~99% of pairs."""
+    from .similarity import hyperplane_signatures  # deferred: circular
+
+    sig = hyperplane_signatures(
+        embeddings, dim, n_planes, tables, id_col, vec_col
+    )
+    a = sig.withColumnsRenamed({id_col: "id_a"})
+    b = sig.withColumnsRenamed({id_col: "id_b"})
+    cands = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return embedding_near_dups(
+        embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        candidates=cands,
     )

@@ -30,6 +30,8 @@ __all__ = [
     "hyperplane_signatures",
     "ivf_build",
     "ivf_topk",
+    "ivf_seed_centroids",
+    "ivf_topk_frozen",
 ]
 
 
@@ -94,27 +96,38 @@ def cosine_topk(
 
 from .dedup import QUANT  # single source of the 2^20 cross-engine quantum
 
-# projection LCG constants (closed form shared with the SQL oracle)
-_PROJ_A = 2654435761
-_PROJ_B = 40503
-_PROJ_C = 2463534242
-_PROJ_M = 2246822519
-_TWO32 = 1 << 32
+# splitmix64 finalizer constants (closed form shared with the SQL oracle)
+_SM_C0 = 0x9E3779B97F4A7C15
+_SM_K1 = 0xBF58476D1CE4E5B9
+_SM_K2 = 0x94D049BB133111EB
 
 
 def _projection(dim: int, n_planes: int) -> np.ndarray:
-    """Deterministic integer hyperplane weights from a two-round LCG
-    mixer — a closed form an ANSI-SQL oracle can recompute exactly
-    (DuckDB: HUGEINT arithmetic), unlike a seeded Mersenne-Twister
-    gaussian.  w[d, c] = mix(d, c) >> 12 - 2^19, uniform over
+    """Deterministic integer hyperplane weights from the splitmix64
+    finalizer over the counter d*2^20 + c — a closed form an ANSI-SQL
+    oracle can recompute exactly (DuckDB: HUGEINT arithmetic with
+    staged mod-2^64 multiplies), unlike a seeded Mersenne-Twister
+    gaussian.  w[d, c] = mix(d, c) >> 44 - 2^19, uniform over
     [-2^19, 2^19) — integer-valued in float64, so quantized-vector dot
     products are exact and sign tests are bit-identical across engines.
-    """
+
+    History: a weaker two-round LCG stood here through round 2.  Its
+    flaw: for fixed d, consecutive planes differed by the CONSTANT
+    B*M mod 2^32, i.e. every plane was the previous plane plus a fixed
+    offset vector — near-parallel hash tables (measured mean |corr|
+    0.37, max 1.0 between normalized planes!), which silently destroyed
+    LSH pruning (~0.9 of all pairs became candidates) and capped
+    recall.  splitmix64 measures mean |corr| 0.10 — the random-gaussian
+    expectation sqrt(2/(pi*dim)) — and restores the collision math the
+    docstrings advertise."""
     d = np.arange(dim, dtype=np.uint64)[:, None]
     c = np.arange(n_planes, dtype=np.uint64)[None, :]
-    h1 = (d * np.uint64(_PROJ_A) + c * np.uint64(_PROJ_B) + np.uint64(_PROJ_C)) % np.uint64(_TWO32)
-    h2 = (h1 * np.uint64(_PROJ_M)) % np.uint64(_TWO32)  # uint64 wrap == mod 2^64 first
-    return (h2 >> np.uint64(12)).astype(np.float64) - 524288.0
+    with np.errstate(over="ignore"):  # uint64 wrap == mod 2^64
+        z = d * np.uint64(1 << 20) + c + np.uint64(_SM_C0)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(_SM_K1)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM_K2)
+        z = z ^ (z >> np.uint64(31))
+    return (z >> np.uint64(44)).astype(np.float64) - 524288.0
 
 
 def _quantize_half_away(V: np.ndarray) -> np.ndarray:
@@ -233,15 +246,33 @@ def lsh_ann_topk(
     )
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "cand_id", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the second scale path next to LSH
 # ---------------------------------------------------------------------------
 
 def _assign_centroids(df: DataFrame, centroids: np.ndarray,
-                      id_col: str, vec_col: str) -> DataFrame:
+                      id_col: str, vec_col: str,
+                      quantize: bool = False) -> DataFrame:
     """(id, cid) — nearest centroid per vector by squared L2, ties by
     centroid id (argmin returns the first).  One Arrow-batched matmul
-    per batch against the broadcast centroid matrix."""
+    per batch against the broadcast centroid matrix.
+
+    quantize=True rounds vectors to the 2^20 integer grid first (the
+    centroids must already be quantized): every -2 v.c + ||c||^2 term is
+    then an exact integer in float64, so the argmin is bit-reproducible
+    by a HUGEINT SQL oracle regardless of accumulation order."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
 
@@ -252,6 +283,8 @@ def _assign_centroids(df: DataFrame, centroids: np.ndarray,
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if quantize:
+                V = _quantize_half_away(V)
             # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 constant
             # per row, so argmin over (-2 v.c + ||c||^2) suffices
             d = -2.0 * (V @ C.T) + c_sq[None, :]
@@ -261,6 +294,40 @@ def _assign_centroids(df: DataFrame, centroids: np.ndarray,
 
     return df.select(id_col, vec_col).mapInPandas(
         assign, schema=f"{id_col} bigint, cid int"
+    )
+
+
+def _probe_centroids(queries: DataFrame, centroids: np.ndarray,
+                     nprobe: int, id_col: str, vec_col: str,
+                     quantize: bool = False) -> DataFrame:
+    """(query_id, cid) — each query's `nprobe` nearest centroids by the
+    same exact metric/tie rule as _assign_centroids.  Runs as a
+    mapInPandas over the query DataFrame against the broadcast centroid
+    matrix — NO driver collect, so a large query set streams through
+    executors like any other stage."""
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        c_sq = (C * C).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if quantize:
+                V = _quantize_half_away(V)
+            d = -2.0 * (V @ C.T) + c_sq[None, :]
+            near = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[id_col].to_numpy(), nprobe),
+                    "cid": near.ravel().astype("int32"),
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        probe, schema="query_id bigint, cid int"
     )
 
 
@@ -330,27 +397,17 @@ def ivf_topk(
     trades recall for the fraction of the corpus scanned — with the
     defaults each query scores ~nprobe/n_centroids = 12.5% of vectors,
     vs 100% for cosine_topk."""
-    spark = embeddings.sparkSession
     C, assigned = (
         index
         if index is not None
         else ivf_build(embeddings, dim, n_centroids, iters=3,
                        id_col=id_col, vec_col=vec_col)
     )
-    qp = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("query_vec"),
-    ).toPandas()
-    QV = np.stack(qp["query_vec"].to_numpy()).astype(np.float64)
-    c_sq = (C * C).sum(axis=1)
-    d = -2.0 * (QV @ C.T) + c_sq[None, :]
-    probe = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
-    probe_rows = [
-        (int(qid), int(cid))
-        for qid, row in zip(qp["query_id"], probe)
-        for cid in row
-    ]
-    probes = spark.createDataFrame(probe_rows, schema="query_id bigint, cid int")
+    q_dbl = queries.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    probes = _probe_centroids(q_dbl, C, nprobe, id_col, "_v")
     cand_ids = (
         assigned.withColumnRenamed(id_col, "cand_id")
         .join(F.broadcast(probes), "cid")
@@ -389,3 +446,88 @@ def ivf_topk(
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 "cand_id", "cosine")
     )
+
+
+def ivf_seed_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Frozen coarse quantizer: the `n_centroids` lowest-id vectors,
+    quantized to the 2^20 integer grid (half-away rounding == Spark
+    F.round == DuckDB ROUND).  No Lloyd rounds — deterministic and, with
+    every distance term an exact integer, fully SQL-reproducible."""
+    seed = (
+        embeddings.orderBy(F.col(id_col)).limit(n_centroids)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .toPandas()["v"]
+    )
+    return _quantize_half_away(np.stack(seed.to_numpy()).astype(np.float64))
+
+
+def ivf_topk_frozen(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-checkable IVF ANN: identical probe/score shape to
+    `ivf_topk`, but the coarse quantizer is FROZEN at the quantized
+    seed vectors (ivf_seed_centroids) instead of Lloyd-iterated means.
+
+    Why this variant exists: k-means float averages are not
+    bit-reproducible in ANSI SQL, so the Lloyd version can only be
+    recall-gated in pytest.  Freezing the centroids makes every stage —
+    assignment argmin, probe selection, candidate join, cosine
+    re-score — exactly recomputable by the DuckDB HUGEINT oracle
+    (integer-quantized distances; raw-double cosine identical in list
+    order), giving IVF a full rows+schema+hash contract entry.  Recall
+    is a few points below the Lloyd quantizer (seed cells are less
+    balanced) at the same nprobe; scale shape is unchanged — the probe
+    equi-join still scans ~nprobe/n_centroids of the corpus."""
+    C = ivf_seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    q_dbl = queries.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    e_dbl = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    assigned = _assign_centroids(e_dbl, C, id_col, "_v", quantize=True)
+    probes = _probe_centroids(q_dbl, C, nprobe, id_col, "_v", quantize=True)
+    cand_ids = (
+        assigned.withColumnRenamed(id_col, "cand_id")
+        .join(F.broadcast(probes), "cid")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cand_vec"),
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("query_vec"),
+        )
+    )
+    scored = (
+        cand_ids.join(cand, "cand_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("query_vec"), F.col("cand_vec"))
+                / (_norm(F.col("query_vec")) * _norm(F.col("cand_vec"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored, k)

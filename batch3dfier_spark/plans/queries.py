@@ -728,15 +728,42 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ann_lsh() -> str:
-    """Oracle twin of q_ann_lsh: same LCG hyperplane weights, same
-    quantized sign tests, same candidate join + exact re-score.  The
-    embedding dim is pinned to 64 (the testdata width; q_ann_lsh infers
-    it at runtime)."""
-    from ..operators.similarity import (
-        _PROJ_A, _PROJ_B, _PROJ_C, _PROJ_M,
-    )
+def _sql_projection_cte(dim: int, n_cols: int) -> str:
+    """SQL twin of similarity._projection (splitmix64 over d*2^20 + c)
+    as CTE stages ending in `w(c, wv)`.  Each mod-2^64 multiply is
+    staged as a*b_lo + ((a*b_hi) mod 2^32)*2^32 so no intermediate
+    exceeds HUGEINT (a plain product of two ~2^64 values overflows
+    int128)."""
+    from ..operators.similarity import _SM_C0, _SM_K1, _SM_K2
 
+    two64 = 1 << 64
+
+    def mulmod(a: str, b: int) -> str:
+        b_lo, b_hi = b & 0xFFFFFFFF, b >> 32
+        return (f"((({a}) * {b_lo}) % {two64} + "
+                f"((({a}) * {b_hi}) % 4294967296) * 4294967296) % {two64}")
+
+    return f"""wp AS (
+  SELECT d, c,
+         CAST(d * 1048576 + c AS HUGEINT) + CAST({_SM_C0} AS HUGEINT) AS z0
+  FROM RANGE({dim}) t(d), RANGE({n_cols}) u(c)
+), w1 AS (
+  SELECT d, c, {mulmod("xor(z0 % " + str(two64) + ", z0 // 1073741824)", _SM_K1)} AS z1 FROM wp
+), w2 AS (
+  SELECT d, c, {mulmod("xor(z1, z1 // 134217728)", _SM_K2)} AS z2 FROM w1
+), w3 AS (
+  SELECT d, c, xor(z2, z2 // 2147483648) AS z3 FROM w2
+), w AS (
+  SELECT c, LIST(CAST(z3 // 17592186044416 - 524288 AS DOUBLE) ORDER BY d) AS wv
+  FROM w3 GROUP BY c
+)"""
+
+
+def _sql_ann_lsh() -> str:
+    """Oracle twin of q_ann_lsh: same splitmix64 hyperplane weights,
+    same quantized sign tests, same candidate join + exact re-score.
+    The embedding dim is pinned to 64 (the testdata width; q_ann_lsh
+    infers it at runtime)."""
     n_planes, tables, k, dim = 6, 24, 5, 64
     return f"""
 WITH e AS (
@@ -744,13 +771,7 @@ WITH e AS (
          LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
                         x -> ROUND(x * 1048576.0)) AS q
   FROM embeddings
-), w AS (
-  SELECT c,
-         [CAST(((CAST((d * {_PROJ_A} + c * {_PROJ_B} + {_PROJ_C}) % 4294967296 AS HUGEINT)
-                 * {_PROJ_M}) % 4294967296) // 4096 - 524288 AS DOUBLE)
-          FOR d IN RANGE({dim})] AS wv
-  FROM (SELECT UNNEST(RANGE({n_planes * tables})) AS c)
-), sig AS (
+), {_sql_projection_cte(dim, n_planes * tables)}, sig AS (
   SELECT e.vec_id, w.c // {n_planes} AS table_id,
          SUM(CASE WHEN LIST_DOT_PRODUCT(e.q, w.wv) > 0
                   THEN (CAST(1 AS BIGINT) << (w.c % {n_planes})) ELSE 0 END) AS bucket
@@ -771,6 +792,77 @@ WITH e AS (
   FROM pairs p
   JOIN v cv ON cv.vec_id = p.cand_id
   JOIN v qv ON qv.vec_id = p.query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rk
+  FROM scored
+)
+SELECT query_id, CAST(rk AS INT) AS rank, cand_id, cosine
+FROM ranked WHERE rk <= {k}
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 cosine with the FROZEN coarse quantizer
+    (operators/similarity.ivf_topk_frozen): centroids = the 64 lowest-id
+    vectors on the 2^20 integer grid, so assignment argmin, probe
+    selection and re-score are all exactly SQL-reproducible.  The Lloyd
+    (k-means) quantizer keeps its pytest recall gate — float means are
+    not bit-reproducible in ANSI SQL."""
+    from ..operators.similarity import ivf_topk_frozen
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    return ivf_topk_frozen(
+        emb, emb.where(F.col("vec_id") % 100 == 0), dim=dim, k=5,
+        n_centroids=64, nprobe=8,
+    )
+
+
+def _sql_ann_ivf() -> str:
+    """Oracle twin of q_ann_ivf.  All distance terms are integers on the
+    2^20 quantization grid (|-2 v.c + c.c| < 2^47 over 64 dims — exact
+    in float64/DOUBLE), so argmin ties, probe order and candidate sets
+    are bit-identical to the numpy engine path."""
+    n_centroids, nprobe, k = 64, 8, 5
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                        x -> ROUND(x * 1048576.0)) AS qv,
+         CAST(embedding AS DOUBLE[]) AS dv
+  FROM embeddings
+), c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+  FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT {n_centroids})
+), asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY -2 * LIST_DOT_PRODUCT(e.qv, c.cv)
+                      + LIST_DOT_PRODUCT(c.cv, c.cv), c.cid) AS rn
+    FROM e, c)
+  WHERE rn = 1
+), probe AS (
+  SELECT query_id, cid FROM (
+    SELECT e.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY -2 * LIST_DOT_PRODUCT(e.qv, c.cv)
+                      + LIST_DOT_PRODUCT(c.cv, c.cv), c.cid) AS rn
+    FROM e, c WHERE e.vec_id % 100 = 0)
+  WHERE rn <= {nprobe}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM probe p JOIN asg a ON p.cid = a.cid
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT cand.query_id, cand.cand_id,
+         ROUND(LIST_DOT_PRODUCT(qe.dv, ce.dv)
+               / (SQRT(LIST_DOT_PRODUCT(qe.dv, qe.dv))
+                  * SQRT(LIST_DOT_PRODUCT(ce.dv, ce.dv))), 6) AS cosine
+  FROM cand
+  JOIN e ce ON ce.vec_id = cand.cand_id
+  JOIN e qe ON qe.vec_id = cand.query_id
 ), ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, cand_id) AS rk
@@ -1343,6 +1435,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "textstats": (q_textstats, None),  # sql built lazily below
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "ann_ivf": (q_ann_ivf, None),  # sql built lazily below
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_window_stream": (q_events_window_stream, SQL_EVENTS_WINDOW),
     "user_totals_stream": (q_user_totals_stream, SQL_USER_TOTALS_STREAM),
@@ -1357,6 +1450,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 }
 REGISTRY["textstats"] = (q_textstats, _sql_textstats())
 REGISTRY["ann_lsh"] = (q_ann_lsh, _sql_ann_lsh())
+REGISTRY["ann_ivf"] = (q_ann_ivf, _sql_ann_ivf())
 REGISTRY["dedup_minhash"] = (q_dedup_minhash, _sql_dedup_minhash())
 REGISTRY["dedup_simhash"] = (q_dedup_simhash, _sql_dedup_simhash())
 

@@ -132,3 +132,87 @@ def test_lsh_ann_is_subset_scored_exactly(spark, emb_df, emb_mat):
         assert s == pytest.approx(
             round(float(Vn[idx[int(q)]] @ Vn[idx[int(c)]]), 6), abs=2e-6
         )
+
+
+def test_ivf_frozen_matches_duckdb_oracle(spark, emb_df):
+    """ann_ivf contract check at sf0.001: the frozen-quantizer IVF is
+    exactly SQL-reproducible end to end (assignment argmin, probe order,
+    candidate join, cosine re-score)."""
+    import pandas as pd
+
+    from batch3dfier_spark.plans.queries import _sql_ann_ivf, q_ann_ivf
+
+    got = q_ann_ivf(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    exp = con.sql(_sql_ann_ivf()).df()
+    cols = ["query_id", "rank", "cand_id", "cosine"]
+    got = got.sort_values(cols).reset_index(drop=True)[cols]
+    exp = exp.sort_values(cols).reset_index(drop=True)[cols]
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_ivf_frozen_recall(spark, emb_df, emb_mat):
+    """The frozen quantizer is a weaker index than Lloyd but must still
+    deliver useful recall at the default nprobe, and exact results at
+    full probe (nprobe == n_centroids scans everything)."""
+    from batch3dfier_spark.operators.similarity import ivf_topk_frozen
+
+    ids, V = emb_mat
+    dim = V.shape[1]
+    qmask = ids % 100 == 0
+    exact = _brute_topk(ids, V, qmask, k=5)
+
+    # contract operating point (nc=64, nprobe=8 -> ~12.5% corpus
+    # scanned): measured 0.60 on this fixture vs ~0.8+ for the Lloyd
+    # quantizer — the frozen variant trades recall for exact SQL
+    # checkability; gate slightly below the measurement for VM noise
+    approx = ivf_topk_frozen(
+        emb_df, emb_df.where(F.col("vec_id") % 100 == 0),
+        dim=dim, k=5, n_centroids=64, nprobe=8,
+    ).toPandas()
+    hits = tot = 0
+    for qid, pairs in exact.items():
+        want = {c for c, _ in pairs}
+        got = set(approx[approx["query_id"] == qid]["cand_id"])
+        hits += len(want & got)
+        tot += len(want)
+    assert hits / tot >= 0.55, f"frozen-IVF recall {hits/tot:.2f}"
+
+    full = ivf_topk_frozen(
+        emb_df, emb_df.where(F.col("vec_id") % 100 == 0),
+        dim=dim, k=5, n_centroids=16, nprobe=16,
+    ).toPandas()
+    for qid, pairs in exact.items():
+        got = full[full["query_id"] == qid].sort_values("rank")
+        assert list(got["cand_id"]) == [c for c, _ in pairs]
+
+
+def test_embedding_lsh_funnel_recall(spark, emb_df, emb_mat):
+    """VERDICT #4: the hyperplane-bucket -> embedding_near_dups
+    candidates funnel, wired end to end.  Recall >= 0.95 vs the exact
+    all-pairs output on the fixture corpus; the all-pairs path is never
+    constructed (candidates is non-None by construction)."""
+    from batch3dfier_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    ids, V = emb_mat
+    dim = V.shape[1]
+    exact = embedding_near_dups(emb_df, threshold=0.4).toPandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    assert len(exact_pairs) > 10  # fixture really has near-dups
+
+    funnel = embedding_near_dups_lsh(emb_df, dim=dim, threshold=0.4).toPandas()
+    funnel_pairs = set(zip(funnel["id_a"], funnel["id_b"]))
+    # funnel pairs are a subset (same exact scoring, fewer candidates)
+    assert funnel_pairs <= exact_pairs
+    recall = len(funnel_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.95, f"funnel recall {recall:.3f}"
+    # scores of surviving pairs are bit-identical to the all-pairs path
+    merged = funnel.merge(exact, on=["id_a", "id_b"], suffixes=("_f", "_e"))
+    assert (merged["cosine_f"] == merged["cosine_e"]).all()
