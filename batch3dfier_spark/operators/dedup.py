@@ -2,9 +2,9 @@
 SimHash, and n-gram Jaccard verification.
 
 Scale design (100 TB):
-- exact dedup: hash-groupBy on sha2(text) — one shuffle on a 64-hex key,
-  map-side partial aggregation; the winner-pick is a min() aggregate,
-  not a window, so no per-group sort.
+- exact dedup: min/count over a whole-partition window keyed on
+  sha2(text) — ONE shuffle of the 64-hex key (the widest key in the
+  funnel); a groupBy+join-back fallback exists behind use_window=False.
 - MinHash: signatures are computed in one Arrow-batched pandas UDF
   (numpy matrix ops per batch, no per-row Python math); LSH banding
   explodes each doc into `bands` rows and groupBys on (band, band_hash)
@@ -50,6 +50,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dups",
     "embedding_near_dups_lsh",
+    "word_ngram_hashes",
+    "decontaminate",
 ]
 
 MERSENNE = (1 << 61) - 1
@@ -225,9 +227,10 @@ def lsh_candidates(
     bucket_cap: int | None = 128,
 ) -> DataFrame:
     """LSH banding: split each signature into `bands` rows, hash each
-    band, self-join within (band_id, band_hash) buckets -> candidate
-    pairs (id_a < id_b, deduplicated).  All JVM: slice + xxhash64 +
-    groupBy.
+    band (JVM: slice + xxhash64), bucket on (band_id, band_hash) with
+    one groupBy/collect_list shuffle, prune singleton buckets JVM-side,
+    then expand each surviving bucket's i<j candidate pairs in a numpy
+    kernel (id_a < id_b, deduplicated across bands).
 
     bucket_cap bounds the O(k^2)-pairs blowup of a hot bucket (at web
     scale a cluster of near-identical docs collides in every band):
@@ -258,28 +261,40 @@ def lsh_candidates(
             ).alias("band_hash"),
         )
     )
-    if bucket_cap is not None:
-        from pyspark.sql import Window
+    # ONE shuffle builds the buckets (groupBy + collect_list with
+    # map-side partial aggregation); singleton buckets — the vast
+    # majority — are pruned JVM-side before any Python runs.  The cap
+    # (lowest `bucket_cap` ids, same rule the SQL oracle's ROW_NUMBER
+    # mirrors) and the i<j pair expansion happen in one numpy kernel.
+    # The previous shape (row_number window cap + bucket self-join)
+    # computed the banded frame twice and shuffled it three times;
+    # bucket arrays stay small by construction (exact-dedup prefilter
+    # kills identical-doc buckets, cap truncates near-identical ones).
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
 
-        w = Window.partitionBy("band_id", "band_hash").orderBy(F.col(id_col))
-        banded = (
-            banded.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for ids in pdf["_ids"]:
+                ids = np.sort(np.asarray(ids, dtype=np.int64))
+                if bucket_cap is not None and ids.size > bucket_cap:
+                    ids = ids[:bucket_cap]
+                m = ids.size
+                if m < 2:
+                    continue
+                iu, ju = np.triu_indices(m, k=1)
+                outs.append(
+                    pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.mapInPandas(expand, schema="id_a bigint, id_b bigint")
         .distinct()
     )
 
@@ -927,4 +942,77 @@ def embedding_near_dups_lsh(
     return embedding_near_dups(
         embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col,
         candidates=cands,
+    )
+
+
+def word_ngram_hashes(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, gram) — each doc's DISTINCT word n-gram hashes, one row per
+    gram.  One Arrow-batched kernel: O(docs) Python tokenization, one
+    vectorized stable hash (pd.util.hash_array fixed-key siphash) over
+    every gram string, per-doc dedup by sort — the same gram pipeline as
+    ngram_jaccard_pairs, exposed row-wise for join-shaped consumers
+    (decontamination, inverted indexes)."""
+
+    def grams(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            gram_strs: list[str] = []
+            per_doc = np.zeros(len(pdf), dtype=np.int64)
+            for k, txt in enumerate(pdf[text_col]):
+                toks = txt.split() if isinstance(txt, str) else []
+                m = len(toks) - (n - 1)
+                if m > 0:
+                    gram_strs.extend(
+                        " ".join(toks[i:i + n]) for i in range(m))
+                    per_doc[k] = m
+            if not gram_strs:
+                continue
+            h = pd.util.hash_array(
+                np.asarray(gram_strs, dtype=object)).view(np.int64)
+            doc_of = np.repeat(pdf[id_col].to_numpy(), per_doc)
+            o = np.lexsort((h, doc_of))
+            h, doc_of = h[o], doc_of[o]
+            keep = np.r_[True,
+                         (h[1:] != h[:-1]) | (doc_of[1:] != doc_of[:-1])]
+            yield pd.DataFrame({id_col: doc_of[keep], "gram": h[keep]})
+
+    return _ensure_parallel(df.select(id_col, text_col)).mapInPandas(
+        grams, schema=f"{id_col} bigint, gram bigint"
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene op: flag
+    every training doc sharing at least one word n-gram with the
+    evaluation corpus (the standard n-gram-overlap rule used to scrub
+    eval leakage from web-scale training sets).  Returns
+    (id, n_shared_grams) for contaminated docs only.
+
+    Scale shape: the benchmark gram set is tiny next to a 100 TB corpus
+    (an eval suite is ~1e6-1e8 grams), so the join broadcasts it and
+    the training side never shuffles — one map-side semi-join pass plus
+    the per-doc count aggregation on the (small) surviving rows.  Set
+    broadcast_benchmark=False to let AQE pick when the eval set is
+    genuinely large."""
+    tg = word_ngram_hashes(train, n, text_col, id_col)
+    bg = word_ngram_hashes(benchmark, n, text_col, id_col).select(
+        "gram"
+    ).distinct()
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    return (
+        tg.join(bg, "gram")  # tg is distinct per doc already
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

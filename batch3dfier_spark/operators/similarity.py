@@ -83,15 +83,7 @@ def cosine_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int").alias("rank"),
-                "cand_id", "cosine")
-    )
+    return _rank_topk(scored, k)
 
 
 from .dedup import QUANT  # single source of the 2^20 cross-engine quantum
@@ -235,18 +227,11 @@ def lsh_ann_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int").alias("rank"),
-                "cand_id", "cosine")
-    )
+    return _rank_topk(scored, k)
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail: top-k per query by (cosine desc, cand_id)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()
     )
@@ -437,15 +422,7 @@ def ivf_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int").alias("rank"),
-                "cand_id", "cosine")
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_seed_centroids(

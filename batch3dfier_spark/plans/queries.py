@@ -802,6 +802,90 @@ FROM ranked WHERE rk <= {k}
 """
 
 
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% Bernoulli sample of documents keyed on doc_id
+    (operators/sampling.hash_sample): sha2-hex-prefix threshold — same
+    rows on every run, engine, and cluster size; map-only JVM filter."""
+    from ..operators.sampling import hash_sample
+
+    return hash_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        fraction=0.2, key_col="doc_id", seed="s1",
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample — the training-mixture knob:
+    keep 100% of 'zh'/'de' docs, 10% of 'en', 25% of everything else
+    (the corpus has langs en/fr/es/zh/de)."""
+    from ..operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        fractions={"zh": 1.0, "de": 1.0, "en": 0.1},
+        strata_col="lang", key_col="doc_id", seed="s2",
+        default_fraction=0.25,
+    )
+
+
+def _sql_hex15(key_expr: str, seed: str) -> str:
+    """DuckDB twin of sampling.hash_fraction_col: first 15 hex digits of
+    sha256(key || seed) parsed as an integer (spelled out as 15
+    positional ascii terms — DuckDB has no hex->int conv), / 16^15."""
+    h = f"sha256(CAST({key_expr} AS VARCHAR) || '{seed}')"
+    terms = " + ".join(
+        f"(ascii(substr(h, {j + 1}, 1)) - CASE WHEN ascii(substr(h, {j + 1}, 1)) <= 57 "
+        f"THEN 48 ELSE 87 END) * CAST({16 ** (14 - j)} AS BIGINT)"
+        for j in range(15)
+    )
+    return f"(SELECT ({terms}) / 1152921504606846976.0 FROM (SELECT {h} AS h))"
+
+
+SQL_SAMPLE_HASH = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_sql_hex15("doc_id", "s1")} < 0.2
+"""
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_sql_hex15("doc_id", "s2")} <
+      CASE WHEN lang IN ('zh', 'de') THEN 1.0
+           WHEN lang = 'en' THEN 0.1
+           ELSE 0.25 END
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate): docs
+    with doc_id % 50 == 0 play the eval suite; every other doc sharing
+    at least one word 4-gram with it is flagged with its shared-gram
+    count.  The benchmark gram set broadcasts; the training side never
+    shuffles."""
+    from ..operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return decontaminate(train, bench, n=4)
+
+
+# gram twin of SQL_DEDUP_NGRAM (n=4); engine counts stable gram hashes,
+# the oracle counts the strings — equal modulo ~1e-13 collisions
+SQL_DECONTAMINATE = r"""
+WITH g AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(
+           [ARRAY_TO_STRING(toks[i:i+3], ' ')
+            FOR i IN RANGE(1, GREATEST(LEN(toks) - 3, 0) + 1)])) AS gram
+  FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks
+        FROM documents)
+)
+SELECT tr.doc_id, COUNT(*) AS n_shared_grams
+FROM (SELECT * FROM g WHERE doc_id % 50 != 0) tr
+JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0) be USING (gram)
+GROUP BY tr.doc_id
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 cosine with the FROZEN coarse quantizer
     (operators/similarity.ivf_topk_frozen): centroids = the 64 lowest-id
@@ -1436,6 +1520,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "textstats": (q_textstats, None),  # sql built lazily below
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "ann_ivf": (q_ann_ivf, None),  # sql built lazily below
+    "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_window_stream": (q_events_window_stream, SQL_EVENTS_WINDOW),
     "user_totals_stream": (q_user_totals_stream, SQL_USER_TOTALS_STREAM),

@@ -63,6 +63,7 @@ def ingest_pages_bucketed(
     index: TileIndex,
     territory: Rect,
     n_buckets: int = 64,
+    analyze: bool = True,
 ) -> None:
     """Like ingest_pages, but writes a bucketed catalog table
     (bucketBy(tile_gid) + sortBy) — Spark's durable hash-partitioning
@@ -85,6 +86,16 @@ def ingest_pages_bucketed(
         .sortBy("tile_gid")
         .saveAsTable(table)
     )
+    if analyze:
+        # D4 parity (reference: ANALYZE after index build, db.py:67-77):
+        # table-level rowCount/sizeInBytes plus tile_gid column stats
+        # (distinct count, min/max) feed Catalyst's cost-based optimizer
+        # — broadcast-vs-sort-merge decisions and join reordering read
+        # these instead of guessing from file sizes
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS tile_gid"
+        )
 
 
 def ingest_pages_cells(

@@ -73,3 +73,19 @@ def test_bucketed_matches_plain_assignment(spark, bucketed_table):
         .count()
     )
     assert dup == 0
+
+
+def test_analyze_statistics_recorded(spark, bucketed_table):
+    """D4 parity: ingest records table + tile_gid column statistics so
+    the cost-based optimizer plans from real rowCounts, not file-size
+    guesses."""
+    desc = spark.sql(
+        f"DESCRIBE EXTENDED {bucketed_table}"
+    ).toPandas()
+    stats = desc[desc["col_name"] == "Statistics"]["data_type"]
+    assert len(stats) == 1 and "rows" in stats.iloc[0]
+    cdesc = spark.sql(
+        f"DESCRIBE EXTENDED {bucketed_table} tile_gid"
+    ).toPandas().set_index("info_name")["info_value"]
+    assert int(cdesc["distinct_count"]) > 0
+    assert cdesc["min"] != "NULL" and cdesc["max"] != "NULL"

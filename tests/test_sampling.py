@@ -1,0 +1,96 @@
+"""Deterministic sampling + decontamination: oracle parity, determinism,
+and the threshold-composability property hash sampling exists for."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _oracle(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return con.sql(sql).df()
+
+
+def test_hash_sample_matches_duckdb(spark):
+    from batch3dfier_spark.plans.queries import SQL_SAMPLE_HASH, q_sample_hash
+
+    got = q_sample_hash(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = _oracle(SQL_SAMPLE_HASH).sort_values("doc_id").reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_stratified_sample_matches_duckdb(spark):
+    from batch3dfier_spark.plans.queries import (
+        SQL_SAMPLE_STRATIFIED,
+        q_sample_stratified,
+    )
+
+    got = q_sample_stratified(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = _oracle(SQL_SAMPLE_STRATIFIED).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # full-keep strata survive completely, others are subsampled
+    all_langs = spark.read.parquet(f"{SF}/documents.parquet").groupBy("lang").count().toPandas()
+    kept = got.groupby("lang").size()
+    n_zh = int(all_langs[all_langs["lang"] == "zh"]["count"].iloc[0])
+    assert kept.get("zh", 0) == n_zh
+    n_en = int(all_langs[all_langs["lang"] == "en"]["count"].iloc[0])
+    assert kept.get("en", 0) < 0.3 * n_en
+
+
+def test_hash_sample_deterministic_and_nested(spark, docs):
+    """Same seed + bigger fraction => superset (threshold property);
+    same call twice => identical rows; different seed => different set."""
+    from batch3dfier_spark.operators.sampling import hash_sample
+
+    s10 = set(r.doc_id for r in hash_sample(docs, 0.1, "doc_id", "s").select("doc_id").collect())
+    s10b = set(r.doc_id for r in hash_sample(docs, 0.1, "doc_id", "s").select("doc_id").collect())
+    s30 = set(r.doc_id for r in hash_sample(docs, 0.3, "doc_id", "s").select("doc_id").collect())
+    other = set(r.doc_id for r in hash_sample(docs, 0.1, "doc_id", "t").select("doc_id").collect())
+    assert s10 == s10b
+    assert s10 <= s30
+    assert 0.03 <= len(s10) / 500 <= 0.2  # ~10% of 500 docs
+    assert s10 != other
+
+
+def test_decontaminate_matches_duckdb(spark):
+    from batch3dfier_spark.plans.queries import SQL_DECONTAMINATE, q_decontaminate
+
+    got = q_decontaminate(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = _oracle(SQL_DECONTAMINATE).sort_values("doc_id").reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    """A training doc that verbatim-contains an eval sentence must be
+    flagged; an unrelated doc must not."""
+    from batch3dfier_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1],
+        "text": ["the quick brown fox jumps over the lazy dog"],
+    }))
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": [
+            "prefix words then the quick brown fox jumps over a fence",
+            "completely unrelated content with no overlap at all here",
+        ],
+    }))
+    out = decontaminate(train, bench, n=4).toPandas()
+    assert set(out["doc_id"]) == {10}
+    # shared 4-grams: "the quick brown fox", "quick brown fox jumps",
+    # "brown fox jumps over"
+    assert int(out["n_shared_grams"].iloc[0]) == 3
