@@ -1,2 +1,2 @@
-"""Operators (SURVEY.md §2): tiler, neighbors, dispatch, heights, dedup,
-similarity, textstats, multimodal."""
+"""Operators (SURVEY.md §2): tiler, neighbors, dispatch, heights, bag3d,
+dedup, similarity, textstats, sampling, multimodal, raster, sessions."""

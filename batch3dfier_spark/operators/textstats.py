@@ -19,6 +19,7 @@ __all__ = [
     "lang_scores",
     "fingerprint",
     "add_textstats",
+    "repetition_stats",
 ]
 
 # language marker words (tiny stopword lists; the n-gram-heuristic
@@ -113,6 +114,67 @@ def fingerprint(text: Column) -> Column:
         lambda acc, w: F.pmod(acc * F.lit(FP_MUL) + tok_hash(w), F.lit(FP_MOD)),
     )
     return F.when(F.length(F.trim(text)) == 0, F.lit(0).cast("bigint")).otherwise(fp)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics — the standard
+    quality filters for web-scraped training text (boilerplate pages
+    repeat the same line/navigation bigram over and over):
+
+    - dup_line_frac: 1 - distinct_lines / lines
+    - dup_line_char_frac: chars inside lines occurring >1 time / chars
+      in all lines (both counting repeats)
+    - top_bigram_frac: occurrences of the most frequent word bigram /
+      total bigrams
+
+    One Arrow-batched kernel, O(doc) python per doc (Counter over lines
+    and bigrams — the same bounded per-doc pattern as the gram
+    builders); all three ratios are exact-integer divisions, so the SQL
+    twin reproduces them bit-for-bit unrounded."""
+    from collections import Counter
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            dl = np.zeros(n)
+            dlc = np.zeros(n)
+            tb = np.zeros(n)
+            for k, txt in enumerate(pdf[text_col]):
+                txt = txt if isinstance(txt, str) else ""
+                lines = txt.split("\n")
+                lc = Counter(lines)
+                dl[k] = 1.0 - len(lc) / len(lines)
+                chars_all = sum(len(ln) * c for ln, c in lc.items())
+                if chars_all:
+                    dlc[k] = sum(
+                        len(ln) * c for ln, c in lc.items() if c > 1
+                    ) / chars_all
+                toks = txt.split()
+                if len(toks) >= 2:
+                    bc = Counter(zip(toks, toks[1:]))
+                    tb[k] = max(bc.values()) / (len(toks) - 1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dup_line_frac": dl,
+                    "dup_line_char_frac": dlc,
+                    "top_bigram_frac": tb,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        stats,
+        schema=(f"{id_col} bigint, dup_line_frac double, "
+                "dup_line_char_frac double, top_bigram_frac double"),
+    )
 
 
 def add_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -802,6 +802,53 @@ FROM ranked WHERE rk <= {k}
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters over documents
+    (operators/textstats.repetition_stats): duplicate-line fraction,
+    duplicate-line character fraction, top-bigram occurrence fraction —
+    exact-integer ratios, bit-identical to the SQL twin."""
+    from ..operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+SQL_REPETITION = r"""
+WITH lc AS (
+  SELECT doc_id, line, COUNT(*) AS c, LENGTH(line) AS len
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, chr(10))) AS line
+        FROM documents)
+  GROUP BY doc_id, line
+), lstats AS (
+  SELECT doc_id,
+         SUM(c) AS n_lines,
+         COUNT(*) AS n_distinct,
+         SUM(len * c) AS chars_all,
+         SUM(CASE WHEN c > 1 THEN len * c ELSE 0 END) AS chars_dup
+  FROM lc GROUP BY doc_id
+), bc AS (
+  SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_bi
+  FROM (
+    SELECT doc_id, bg, COUNT(*) AS c
+    FROM (SELECT doc_id,
+                 UNNEST([toks[i] || ' ' || toks[i+1]
+                         FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 0) + 1)]) AS bg
+          FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks
+                FROM documents))
+    GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       1.0 - CAST(ls.n_distinct AS DOUBLE) / ls.n_lines AS dup_line_frac,
+       CASE WHEN ls.chars_all > 0
+            THEN CAST(ls.chars_dup AS DOUBLE) / ls.chars_all
+            ELSE 0.0 END AS dup_line_char_frac,
+       COALESCE(CAST(bc.top_cnt AS DOUBLE) / bc.n_bi, 0.0) AS top_bigram_frac
+FROM documents d
+JOIN lstats ls USING (doc_id)
+LEFT JOIN bc USING (doc_id)
+"""
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20% Bernoulli sample of documents keyed on doc_id
     (operators/sampling.hash_sample): sha2-hex-prefix threshold — same
@@ -1520,6 +1567,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "textstats": (q_textstats, None),  # sql built lazily below
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "ann_ivf": (q_ann_ivf, None),  # sql built lazily below
+    "repetition": (q_repetition, SQL_REPETITION),
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

@@ -94,3 +94,39 @@ def test_decontaminate_flags_planted_leak(spark):
     # shared 4-grams: "the quick brown fox", "quick brown fox jumps",
     # "brown fox jumps over"
     assert int(out["n_shared_grams"].iloc[0]) == 3
+
+
+def test_repetition_matches_duckdb(spark):
+    from batch3dfier_spark.plans.queries import SQL_REPETITION, q_repetition
+
+    got = q_repetition(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = _oracle(SQL_REPETITION).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+    # bigram stat actually discriminates on the fixture corpus
+    assert got["top_bigram_frac"].nunique() > 10
+
+
+def test_repetition_flags_boilerplate(spark):
+    """Planted boilerplate (nav line repeated 5x, same bigram spam) must
+    score high; clean prose must score ~0."""
+    from batch3dfier_spark.operators.textstats import repetition_stats
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [
+            "home | about | contact\n" * 5 + "buy now buy now buy now",
+            "a quiet morning\nthe river bends east\nbirds argue in the pines",
+        ],
+    })
+    out = (
+        repetition_stats(spark.createDataFrame(docs))
+        .toPandas().set_index("doc_id")
+    )
+    assert out.loc[1, "dup_line_frac"] > 0.5          # 5 identical lines + 1
+    assert out.loc[1, "dup_line_char_frac"] > 0.7
+    assert out.loc[1, "top_bigram_frac"] > 0.15       # "home |" 5x of 30 bigrams
+    assert out.loc[2, "dup_line_frac"] == 0.0
+    assert out.loc[2, "dup_line_char_frac"] == 0.0
+    assert out.loc[2, "top_bigram_frac"] <= 0.2
