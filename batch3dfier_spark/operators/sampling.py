@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_fraction_col", "hash_sample", "stratified_sample"]
+__all__ = ["hash_fraction_col", "hash_sample", "stratified_sample",
+           "weighted_mixture"]
 
 # 16^15 — the denominator for the 15-hex-digit uniform draw
 _DENOM = 1 << 60
@@ -71,3 +72,36 @@ def stratified_sample(
             F.col(strata_col) == F.lit(value), F.lit(float(frac))
         ).otherwise(thr)
     return df.where(hash_fraction_col(F.col(key_col), seed) < thr)
+
+
+def weighted_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "url",
+    seed: str = "",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic fractional up/down-sampling — the training-mixture
+    epoch knob (e.g. weight 'zh' 2.5x, 'en' 0.4x): every row appears
+    floor(w) times plus one more iff its hash draw falls under frac(w),
+    tagged with copy_id = 1..n.  Same hash-threshold determinism as
+    hash_sample, so the materialized mixture is identical on every
+    run/engine/cluster size.  Map-only: a CASE weight, one comparison,
+    one sequence-explode — no shuffle, no Python."""
+    w = F.lit(float(default_weight))
+    for value, wt in sorted(weights.items()):
+        w = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(float(wt))
+        ).otherwise(w)
+    base = F.floor(w).cast("bigint")
+    extra = (hash_fraction_col(F.col(key_col), seed) < (w - base)).cast("bigint")
+    return (
+        df.withColumn("_n", base + extra)
+        .where(F.col("_n") > 0)
+        .withColumn(
+            "copy_id",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("_n"))),
+        )
+        .drop("_n")
+    )

@@ -902,6 +902,35 @@ WHERE {_sql_hex15("doc_id", "s2")} <
 """
 
 
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture materialization
+    (operators/sampling.weighted_mixture): 'zh' docs 2.5x, 'en' 0.4x,
+    everything else 1x — floor(w) copies plus one more under the hash
+    draw, copy_id tagging repeats.  Map-only sequence-explode."""
+    from ..operators.sampling import weighted_mixture
+
+    return weighted_mixture(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        weights={"zh": 2.5, "en": 0.4},
+        strata_col="lang", key_col="doc_id", seed="m1",
+    )
+
+
+SQL_SAMPLE_MIXTURE = f"""
+SELECT doc_id, lang, UNNEST(RANGE(1, n + 1)) AS copy_id FROM (
+  SELECT doc_id, lang,
+         CAST(FLOOR(w) AS BIGINT)
+         + CASE WHEN {_sql_hex15("doc_id", "m1")} < w - FLOOR(w)
+                THEN 1 ELSE 0 END AS n
+  FROM (SELECT doc_id, lang,
+               CASE WHEN lang = 'zh' THEN 2.5
+                    WHEN lang = 'en' THEN 0.4
+                    ELSE 1.0 END AS w
+        FROM documents))
+WHERE n > 0
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/dedup.decontaminate): docs
     with doc_id % 50 == 0 play the eval suite; every other doc sharing
@@ -1570,6 +1599,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repetition": (q_repetition, SQL_REPETITION),
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_window_stream": (q_events_window_stream, SQL_EVENTS_WINDOW),

@@ -130,3 +130,24 @@ def test_repetition_flags_boilerplate(spark):
     assert out.loc[2, "dup_line_frac"] == 0.0
     assert out.loc[2, "dup_line_char_frac"] == 0.0
     assert out.loc[2, "top_bigram_frac"] <= 0.2
+
+
+def test_weighted_mixture_matches_duckdb(spark):
+    from batch3dfier_spark.plans.queries import SQL_SAMPLE_MIXTURE, q_sample_mixture
+
+    got = q_sample_mixture(spark, SF).toPandas()
+    exp = _oracle(SQL_SAMPLE_MIXTURE)
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        exp[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # the mixture really reweights: zh upsampled ~2.5x, en downsampled
+    base = spark.read.parquet(f"{SF}/documents.parquet").groupBy("lang").count().toPandas().set_index("lang")["count"]
+    per = got.groupby("lang").size()
+    assert 2.0 * base["zh"] <= per["zh"] <= 3.0 * base["zh"]
+    assert per["en"] <= 0.6 * base["en"]
+    # every zh doc appears at least floor(2.5)=2 times, tagged 1..n
+    zh = got[got["lang"] == "zh"].groupby("doc_id")["copy_id"].agg(["count", "max"])
+    assert (zh["count"] >= 2).all() and (zh["count"] == zh["max"]).all()
