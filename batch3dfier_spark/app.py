@@ -197,12 +197,33 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("config")
     runp.add_argument("--cores", type=int, default=None,
                       help="override parallelism (threads knob)")
+    tp = sub.add_parser(
+        "textpipe",
+        help="run a training-data pipeline (dedup/filter/sample/mixture) "
+             "over a documents table from a YAML config",
+    )
+    tp.add_argument("config")
+    tp.add_argument("--cores", type=int, default=4)
     args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    if args.cmd == "textpipe":
+        from .textpipe import parse_textpipe_config, run_textpipe
+
+        cfg = parse_textpipe_config(args.config)
+        spark = get_spark(app_name="batch3dfier-textpipe", cores=args.cores,
+                          shuffle_partitions=2 * args.cores)
+        spark.sparkContext.setLogLevel("WARN")
+        try:
+            report = run_textpipe(spark, cfg)
+            print(json.dumps(report))
+        finally:
+            spark.stop()
+        return 0
 
     cfg = parse_config(args.config)
     cores = args.cores or int(cfg["parallelism"])
-    from .session import get_spark
-
     spark = get_spark(app_name="batch3dfier-spark", cores=cores,
                       shuffle_partitions=2 * cores)
     spark.sparkContext.setLogLevel("WARN")

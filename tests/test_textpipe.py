@@ -1,0 +1,91 @@
+"""Composable training-data pipeline: step semantics, determinism, and
+the report accounting."""
+
+import json
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    return {
+        "input": {"documents": f"{SF}/documents.parquet"},
+        "output": {"path": str(tmp_path / "out")},
+        "steps": [
+            {"op": "exact_dedup"},
+            {"op": "quality_filter", "min_tokens": 10,
+             "max_top_bigram_frac": 0.5},
+            {"op": "stratified_sample",
+             "fractions": {"en": 0.5}, "default_fraction": 1.0,
+             "seed": "s2"},
+            {"op": "mixture", "weights": {"zh": 2.0}, "seed": "m1"},
+        ],
+    }
+
+
+def test_textpipe_end_to_end(spark, cfg, tmp_path):
+    from batch3dfier_spark.textpipe import run_textpipe
+
+    report = run_textpipe(spark, cfg)
+    assert report["rows_in"] == 500
+    steps = {s["op"]: s["rows"] for s in report["steps"]}
+    # monotone until the mixture step (which upsamples)
+    assert steps["exact_dedup"] <= 500
+    assert steps["quality_filter"] <= steps["exact_dedup"]
+    assert steps["stratified_sample"] < steps["quality_filter"]
+    assert steps["mixture"] > steps["stratified_sample"]  # zh doubled
+    assert report["rows_out"] == steps["mixture"]
+    assert os.path.exists(os.path.join(cfg["output"]["path"], "_report.json"))
+
+    out = spark.read.parquet(cfg["output"]["path"])
+    pdf = out.toPandas()
+    # every zh survivor appears exactly twice (weight 2.0, no fraction)
+    zh = pdf[pdf["lang"] == "zh"].groupby("doc_id").size()
+    assert (zh == 2).all()
+    # deterministic: a second run materializes identical rows
+    cfg2 = dict(cfg, output={"path": str(tmp_path / "out2")})
+    run_textpipe(spark, cfg2)
+    a = pdf.sort_values(["doc_id", "copy_id"]).reset_index(drop=True)
+    b = (
+        spark.read.parquet(cfg2["output"]["path"]).toPandas()
+        .sort_values(["doc_id", "copy_id"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_textpipe_decontaminate_step(spark, tmp_path):
+    from batch3dfier_spark.textpipe import run_textpipe
+
+    cfg = {
+        "input": {"documents": f"{SF}/documents.parquet"},
+        "output": {"path": str(tmp_path / "o")},
+        "steps": [
+            {"op": "decontaminate",
+             "benchmark": f"{SF}/documents.parquet", "ngram": 4},
+        ],
+    }
+    # benchmark == corpus: every doc shares its own grams -> only docs
+    # with <4 tokens (no grams) survive; fixture has none
+    report = run_textpipe(spark, cfg)
+    assert report["rows_out"] == 0
+
+
+def test_textpipe_yaml_cli_roundtrip(spark, cfg, tmp_path):
+    """parse_textpipe_config validates and the CLI path executes it."""
+    import yaml
+
+    from batch3dfier_spark.textpipe import parse_textpipe_config
+
+    p = tmp_path / "pipe.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    parsed = parse_textpipe_config(str(p))
+    assert parsed["steps"][0]["op"] == "exact_dedup"
+    bad = tmp_path / "bad.yml"
+    bad.write_text(yaml.safe_dump({"input": {}}))
+    with pytest.raises(ValueError):
+        parse_textpipe_config(str(bad))
