@@ -52,6 +52,7 @@ __all__ = [
     "embedding_near_dups_lsh",
     "word_ngram_hashes",
     "decontaminate",
+    "connected_components",
 ]
 
 MERSENNE = (1 << 61) - 1
@@ -1016,3 +1017,82 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every id appearing in `pairs`, where
+    component = the MINIMUM id reachable through the pair graph — the
+    canonical cluster id that turns near-dup PAIRS into dedup GROUPS
+    (keeper = the row whose id equals its component).
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round every node takes min(own label, neighbors' labels), then
+    compresses by replacing its label with that node's label
+    (label-of-label; valid because a node's label never exceeds its id
+    and only decreases), so reach roughly doubles per round:
+    O(log diameter) rounds instead of O(diameter).  Each round is two
+    joins + one groupBy on the (bidirected) edge list;
+    `localCheckpoint` truncates the growing plan lineage so round N+1
+    does not re-analyze N stacked joins (the classic
+    iterative-DataFrame trap).  Convergence is the cheapest possible
+    action: labels are non-increasing, so sum(component) is strictly
+    decreasing until the fixpoint — one scalar agg per round, no
+    old-vs-new join.  max_iter is a guard, not a tuning knob."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"),
+                              F.col("component").alias("_nb")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nb").alias("_min_nb"))
+        )
+        stepped = (
+            labels.join(nb_min, labels["id"] == nb_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_min_nb"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        # pointer jump: component <- label(component); the lookup always
+        # matches (a label is a node id) and label(x) <= x, so this can
+        # only tighten
+        labels = (
+            stepped.join(
+                stepped.select(F.col("id").alias("component"),
+                               F.col("component").alias("_c2")),
+                "component",
+            )
+            .select("id", F.col("_c2").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

@@ -461,6 +461,59 @@ FROM documents
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the simhash pair
+    graph (operators/dedup.connected_components, iterative min-label
+    propagation) — component = min reachable doc_id, i.e. the canonical
+    keeper.  The oracle unrolls the propagation a fixed 6 rounds in SQL;
+    the engine iterates to convergence, so they agree whenever cluster
+    diameter <= 6 (near-dup graphs are unions of near-cliques; the
+    operator's own pytest covers deep path graphs vs brute-force
+    union-find)."""
+    from ..operators.dedup import connected_components, simhash_near_dups
+
+    pairs = simhash_near_dups(_docs(spark, sf_dir), max_hamming=8)
+    return connected_components(pairs)
+
+
+def _sql_dedup_clusters() -> str:
+    # Each round: (1) take the min over neighbors' labels, then
+    # (2) pointer-jump — replace the label by that node's own label
+    # (label-of-label).  The compression makes reach double-ish per
+    # round, so 8 rounds cover any diameter the fixture graphs can
+    # have; both engines converge to the SAME fixpoint (min reachable
+    # id), so the unroll only needs to reach it, not mirror the
+    # engine's iteration count.
+    # AS MATERIALIZED everywhere: each round references the previous
+    # CTE twice, so default inlining would copy the (already large)
+    # simhash subtree 2^rounds times — enough to exhaust file handles
+    # just opening the parquet scan per copy
+    rounds = 8
+    ctes = ["l0 AS MATERIALIZED (SELECT id, id AS c FROM n)"]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""la{k} AS MATERIALIZED (
+  SELECT l.id, LEAST(l.c, COALESCE(m.mc, l.c)) AS c
+  FROM l{k - 1} l LEFT JOIN (
+    SELECT e.src AS id, MIN(p.c) AS mc
+    FROM e JOIN l{k - 1} p ON p.id = e.dst GROUP BY e.src
+  ) m USING (id)
+), l{k} AS MATERIALIZED (
+  SELECT t.id, LEAST(t.c, j.c) AS c
+  FROM la{k} t JOIN la{k} j ON j.id = t.c
+)""")
+    return f"""
+WITH pairs AS MATERIALIZED ({_sql_dedup_simhash()}),
+e AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+n AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+{", ".join(ctes)}
+SELECT id, c AS component FROM l{rounds}
+"""
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 (JVM higher-order functions + ranking
     window); queries = vec_id % 100 == 0."""
@@ -1589,6 +1642,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_minhash": (q_dedup_minhash, None),  # sql built lazily below
     "dedup_simhash": (q_dedup_simhash, None),  # sql built lazily below
+    "dedup_clusters": (q_dedup_clusters, None),  # sql built lazily below
     "ann_lsh": (q_ann_lsh, None),  # sql built lazily below
     "cell_encode": (q_cell_encode, SQL_CELL_ENCODE),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
@@ -1618,6 +1672,7 @@ REGISTRY["ann_lsh"] = (q_ann_lsh, _sql_ann_lsh())
 REGISTRY["ann_ivf"] = (q_ann_ivf, _sql_ann_ivf())
 REGISTRY["dedup_minhash"] = (q_dedup_minhash, _sql_dedup_minhash())
 REGISTRY["dedup_simhash"] = (q_dedup_simhash, _sql_dedup_simhash())
+REGISTRY["dedup_clusters"] = (q_dedup_clusters, _sql_dedup_clusters())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -27,6 +27,9 @@ Config shape::
         min_tokens: 10
         max_dup_line_frac: 0.3
         max_top_bigram_frac: 0.2
+      - op: near_dedup                   # minhash/simhash clusters,
+        method: minhash                  #   keep the min-id doc per
+        threshold: 0.5                   #   connected component
       - op: decontaminate                # drop docs overlapping an
         benchmark: /path/eval.parquet    #   eval corpus (word n-grams)
         ngram: 4
@@ -104,6 +107,32 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
             keep = rep.where(cond).select("doc_id")
             out = out.join(keep, "doc_id")
         return out
+    if op == "near_dedup":
+        from .operators.dedup import (
+            connected_components,
+            minhash_near_dups,
+            simhash_near_dups,
+        )
+
+        method = step.get("method", "minhash")
+        if method == "minhash":
+            pairs = minhash_near_dups(
+                df, threshold=float(step.get("threshold", 0.5))
+            )
+        elif method == "simhash":
+            pairs = simhash_near_dups(
+                df, max_hamming=int(step.get("max_hamming", 8))
+            )
+        else:
+            raise ValueError(f"near_dedup method must be minhash|simhash,"
+                             f" got {method}")
+        comp = connected_components(pairs)
+        # keeper = the doc whose id IS the component label; docs never
+        # paired keep themselves by absence from the drop list
+        drops = comp.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias("doc_id")
+        )
+        return df.join(drops, "doc_id", "left_anti")
     if op == "decontaminate":
         from .operators.dedup import decontaminate
 

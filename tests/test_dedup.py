@@ -444,3 +444,84 @@ def test_corpus_is_ascii():
             "WHERE text != encode(text)::VARCHAR OR octet_length(encode(text)) != length(text)"
         ).fetchone()[0]
         assert bad == 0, f"non-ASCII text in {p}"
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min id in component
+    comp = {}
+    for x in list(parent):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    out = {}
+    for r, members in comp.items():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def test_connected_components_matches_union_find(spark, docs_df):
+    """Cluster labels over the fixture simhash pair graph must equal
+    brute-force union-find (component = min reachable id)."""
+    from batch3dfier_spark.operators.dedup import (
+        connected_components,
+        simhash_near_dups,
+    )
+
+    pairs = simhash_near_dups(docs_df, max_hamming=8)
+    pair_list = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert len(pair_list) > 50
+    got = {
+        r.id: r.component
+        for r in connected_components(pairs).collect()
+    }
+    exp = _union_find(pair_list)
+    assert got == exp
+
+
+def test_connected_components_deep_path_graph(spark):
+    """A 40-node path (diameter 39) exercises many propagation rounds;
+    labels must still collapse to the single min id."""
+    import pandas as pd
+
+    chain = pd.DataFrame({"id_a": range(39), "id_b": range(1, 40)})
+    # plus a separate triangle with ids 100..102
+    tri = pd.DataFrame({"id_a": [100, 101, 100], "id_b": [101, 102, 102]})
+    pairs = spark.createDataFrame(pd.concat([chain, tri]))
+    from batch3dfier_spark.operators.dedup import connected_components
+
+    out = connected_components(pairs, max_iter=50).toPandas()
+    comp = out.set_index("id")["component"]
+    assert (comp.loc[range(40)] == 0).all()
+    assert (comp.loc[[100, 101, 102]] == 100).all()
+
+
+def test_dedup_clusters_matches_duckdb(spark, docs_df):
+    from batch3dfier_spark.plans.queries import (
+        _sql_dedup_clusters,
+        q_dedup_clusters,
+    )
+
+    got = q_dedup_clusters(spark, SF).toPandas().sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    exp = con.sql(_sql_dedup_clusters()).df().sort_values("id").reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got[["id", "component"]], exp[["id", "component"]], check_dtype=False
+    )

@@ -89,3 +89,38 @@ def test_textpipe_yaml_cli_roundtrip(spark, cfg, tmp_path):
     bad.write_text(yaml.safe_dump({"input": {}}))
     with pytest.raises(ValueError):
         parse_textpipe_config(str(bad))
+
+
+def test_textpipe_near_dedup_step(spark, tmp_path):
+    """near_dedup drops every clustered doc except the min-id keeper;
+    unpaired docs pass through untouched."""
+    from batch3dfier_spark.operators.dedup import (
+        connected_components,
+        simhash_near_dups,
+    )
+    from batch3dfier_spark.textpipe import run_textpipe
+
+    cfg = {
+        "input": {"documents": f"{SF}/documents.parquet"},
+        "output": {"path": str(tmp_path / "nd")},
+        "steps": [{"op": "near_dedup", "method": "simhash",
+                   "max_hamming": 8}],
+    }
+    report = run_textpipe(spark, cfg)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    comp = connected_components(
+        simhash_near_dups(docs, max_hamming=8)
+    ).toPandas()
+    n_drops = int((comp["id"] != comp["component"]).sum())
+    assert n_drops > 0
+    assert report["rows_out"] == 500 - n_drops
+    kept = set(
+        spark.read.parquet(cfg["output"]["path"])
+        .select("doc_id").toPandas()["doc_id"]
+    )
+    # every component label survives, every non-label clustered doc dropped
+    for _, r in comp.iterrows():
+        if r["id"] == r["component"]:
+            assert r["id"] in kept
+        else:
+            assert r["id"] not in kept
