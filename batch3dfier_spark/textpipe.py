@@ -116,8 +116,13 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
 
         method = step.get("method", "minhash")
         if method == "minhash":
+            # persist_intermediates=False: the pipeline holds the frame
+            # across later steps and the final write, so funnel-internal
+            # persists would outlive their usefulness in the executor
+            # cache; the small recompute is cheaper than the leak
             pairs = minhash_near_dups(
-                df, threshold=float(step.get("threshold", 0.5))
+                df, threshold=float(step.get("threshold", 0.5)),
+                persist_intermediates=False,
             )
         elif method == "simhash":
             pairs = simhash_near_dups(
