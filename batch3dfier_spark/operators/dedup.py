@@ -228,10 +228,12 @@ def lsh_candidates(
     bucket_cap: int | None = 128,
 ) -> DataFrame:
     """LSH banding: split each signature into `bands` rows, hash each
-    band (JVM: slice + xxhash64), bucket on (band_id, band_hash) with
-    one groupBy/collect_list shuffle, prune singleton buckets JVM-side,
-    then expand each surviving bucket's i<j candidate pairs in a numpy
-    kernel (id_a < id_b, deduplicated across bands).
+    band (JVM: slice + xxhash64), cap each (band_id, band_hash) bucket
+    to its lowest `bucket_cap` ids with a row_number window, bucket the
+    survivors with a groupBy/collect_list on the same keys (no second
+    Exchange — the window already partitioned on them), prune singleton
+    buckets JVM-side, then expand each surviving bucket's i<j candidate
+    pairs in a numpy kernel (id_a < id_b, deduplicated across bands).
 
     bucket_cap bounds the O(k^2)-pairs blowup of a hot bucket (at web
     scale a cluster of near-identical docs collides in every band):
@@ -262,15 +264,27 @@ def lsh_candidates(
             ).alias("band_hash"),
         )
     )
-    # ONE shuffle builds the buckets (groupBy + collect_list with
-    # map-side partial aggregation); singleton buckets — the vast
-    # majority — are pruned JVM-side before any Python runs.  The cap
-    # (lowest `bucket_cap` ids, same rule the SQL oracle's ROW_NUMBER
-    # mirrors) and the i<j pair expansion happen in one numpy kernel.
-    # The previous shape (row_number window cap + bucket self-join)
-    # computed the banded frame twice and shuffled it three times;
-    # bucket arrays stay small by construction (exact-dedup prefilter
-    # kills identical-doc buckets, cap truncates near-identical ones).
+    # ONE effective shuffle builds capped buckets: the row_number window
+    # (partitioned on the bucket key, ordered by id) caps each bucket to
+    # its lowest `bucket_cap` ids BEFORE any bucket is materialized as an
+    # array — a hot bucket (near-identical cluster colliding in every
+    # band) therefore never becomes an unbounded collect_list buffer or a
+    # single giant Arrow row (round-3 ADVICE).  The follow-up groupBy is
+    # on the SAME keys, so it reuses the window's hash partitioning and
+    # adds NO second Exchange — cost vs the uncapped shape is just the
+    # within-partition sort the cap needs anyway to be deterministic.
+    # Singleton buckets — the vast majority — are pruned JVM-side before
+    # any Python runs; the i<j pair expansion is one numpy kernel over
+    # arrays that are <= bucket_cap long BY CONSTRUCTION.
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     buckets = (
         banded.groupBy("band_id", "band_hash")
         .agg(F.collect_list(id_col).alias("_ids"))
@@ -282,8 +296,6 @@ def lsh_candidates(
             outs = []
             for ids in pdf["_ids"]:
                 ids = np.sort(np.asarray(ids, dtype=np.int64))
-                if bucket_cap is not None and ids.size > bucket_cap:
-                    ids = ids[:bucket_cap]
                 m = ids.size
                 if m < 2:
                     continue

@@ -465,11 +465,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the simhash pair
     graph (operators/dedup.connected_components, iterative min-label
     propagation) — component = min reachable doc_id, i.e. the canonical
-    keeper.  The oracle unrolls the propagation a fixed 6 rounds in SQL;
-    the engine iterates to convergence, so they agree whenever cluster
-    diameter <= 6 (near-dup graphs are unions of near-cliques; the
-    operator's own pytest covers deep path graphs vs brute-force
-    union-find)."""
+    keeper.  The oracle unrolls the propagation a fixed 8 rounds in SQL
+    (each round = neighbor-min THEN pointer jump, so reach roughly
+    doubles per round — ~2^8 coverage); the engine iterates to
+    convergence, so they agree whenever the engine converges within 8
+    such rounds (asserted on the fixture by
+    tests/test_dedup.py::test_clusters_converge_within_oracle_unroll;
+    the operator's own pytest also covers deep path graphs vs
+    brute-force union-find)."""
     from ..operators.dedup import connected_components, simhash_near_dups
 
     pairs = simhash_near_dups(_docs(spark, sf_dir), max_hamming=8)

@@ -82,6 +82,22 @@ class IcebergishTable:
         self._manifest_cache: dict[str, dict] = {}
         self._snap_cache: dict[int, dict] = {}
 
+    # -- path portability ---------------------------------------------------
+    # Manifests store data-file paths RELATIVE to the table root whenever
+    # the file lives under it, so a table directory (or an exported
+    # artifact) can be moved/copied and still read.  Absolute paths (e.g.
+    # files outside the root, legacy manifests) pass through untouched.
+
+    def _rel(self, p: str) -> str:
+        root = os.path.abspath(self.root)
+        ap = os.path.abspath(p) if os.path.isabs(p) else None
+        if ap is not None and ap.startswith(root + os.sep):
+            return os.path.relpath(ap, root)
+        return p
+
+    def _abs(self, p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(self.root, p)
+
     # -- snapshot chain -----------------------------------------------------
 
     def _current_name(self) -> str | None:
@@ -143,7 +159,7 @@ class IcebergishTable:
             m = self._manifest(snap["manifest"])
             files.extend(m["files"])
             lineage.extend(m["lineage"])
-        return files, lineage
+        return [self._abs(f) for f in files], lineage
 
     def current_snapshot(self) -> dict | None:
         """Resolved view of the current snapshot (or None): the raw
@@ -199,7 +215,8 @@ class IcebergishTable:
             manifest_name = f"manifest-{sid:06d}-{uuid.uuid4().hex}.json"
             self._write_atomic(
                 manifest_name,
-                {"snapshot_id": sid, "files": list(new_files),
+                {"snapshot_id": sid,
+                 "files": [self._rel(f) for f in new_files],
                  "lineage": rows},
             )
         snap_name = f"snapshot-{sid:06d}.json"
@@ -294,7 +311,10 @@ class IcebergishTable:
             dst = os.path.join(out_dir, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copy2(src, dst)
-            rel_files.append(os.path.join(out_dir, rel))
+            # RELATIVE in the manifest: the artifact stays readable after
+            # being moved/copied (resolved against the artifact root at
+            # read time by _abs)
+            rel_files.append(rel)
         manifest_name = f"manifest-000001-{uuid.uuid4().hex}.json"
         out._write_atomic(
             manifest_name,
