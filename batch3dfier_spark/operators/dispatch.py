@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..storage.tablefmt import IcebergishTable, LineageRow
+from ..storage.tablefmt import IcebergishTable
 
 __all__ = ["run_tiles", "salted_split", "skip_report"]
 
@@ -70,18 +70,62 @@ def run_tiles(
       lineage rows are folded into ONE row per tile before commit —
       the reference's own stated bottleneck ("the size of a single
       tile", docs/batch3dfier.rst:32) stops serializing the stage.
+
+    DE-DRIVERED LINEAGE (round-3 VERDICT #1): nothing per-tile crosses
+    the driver.  The per-(tile, salt) partials are folded to one row
+    per tile by a JVM groupBy (reusing the grouped-apply partitioning),
+    the work-order JSON is rendered by format_string, and the lineage
+    rows — each carrying its tile's data-file paths — are written as
+    parquet parts straight into the table's staging dir by the
+    executors.  The driver's commit reads only parquet FOOTERS
+    (O(shuffle partitions) stats), so a 1e8-tile run costs the driver
+    the same as a 16-tile run.  Resume likewise: above a small bound
+    the completed set stays a Spark DataFrame (left_anti join) instead
+    of a driver-side isin list.
     """
-    completed = table.completed_tiles() if resume else set()
+    spark = df.sparkSession
+    import json as _json
+
+    proc_name = getattr(process, "__name__", "process")
     skip_tiles = set(skip_tiles or ())
+
+    # -- resume: drop completed tiles without materializing big sets ------
+    completed: set[int] = set()
+    completed_df = None
+    if resume:
+        bound = table.lineage_row_bound()
+        if 0 < bound <= 10_000:
+            # small history: driver set -> isin predicate (pushes down
+            # to the parquet scan for partition pruning)
+            completed = table.completed_tiles()
+        elif bound > 10_000:
+            completed_df = table.completed_tiles_df(spark)
 
     work = df
     if completed:
         work = work.where(~F.col(tile_col).isin([int(t) for t in completed]))
-    todo_skip = skip_tiles - completed
+        todo_skip = skip_tiles - completed
+    elif completed_df is not None:
+        work = work.join(
+            completed_df.withColumnRenamed("tile_gid", tile_col),
+            on=tile_col, how="left_anti",
+        )
+        if skip_tiles:
+            done_skips = {
+                int(r[0])
+                for r in completed_df.where(
+                    F.col("tile_gid").isin([int(t) for t in skip_tiles])
+                ).collect()
+            }
+            todo_skip = skip_tiles - done_skips
+        else:
+            todo_skip = set()
+    else:
+        todo_skip = set(skip_tiles)
     if todo_skip:
         work = work.where(~F.col(tile_col).isin([int(t) for t in todo_skip]))
 
-    data_root = table.data_dir
+    table_root = os.path.abspath(table.root)
     group_cols = [tile_col]
     if decomposable:
         work = salted_split(
@@ -100,12 +144,17 @@ def run_tiles(
         status = "ok" if len(out) else "empty"
         path = ""
         if len(out):
-            d = os.path.join(data_root, f"tile_gid={tile}")
-            os.makedirs(d, exist_ok=True)
+            rel_dir = os.path.join("data", f"tile_gid={tile}")
+            os.makedirs(os.path.join(table_root, rel_dir), exist_ok=True)
             import uuid as _uuid
 
-            path = os.path.join(d, f"{_uuid.uuid4().hex}.parquet")
-            pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+            # ROOT-RELATIVE in lineage/manifests: the table directory
+            # stays movable (resolved against root at read time)
+            path = os.path.join(rel_dir, f"{_uuid.uuid4().hex}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(out, preserve_index=False),
+                os.path.join(table_root, path),
+            )
         return pd.DataFrame(
             [
                 {
@@ -120,69 +169,78 @@ def run_tiles(
             ]
         )
 
-    lineage_pdf = (
-        work.groupBy(*group_cols)
-        .applyInPandas(worker, schema=_LINEAGE_SCHEMA + ", path string")
-        .toPandas()
+    raw = work.groupBy(*group_cols).applyInPandas(
+        worker, schema=_LINEAGE_SCHEMA + ", path string"
     )
 
-    import json as _json
-
-    proc_name = getattr(process, "__name__", "process")
-    if decomposable and len(lineage_pdf):
-        # fold per-(tile, salt) partials into ONE lineage row per tile:
+    # mirror json.dumps({"tile": t, "salt_groups": n, "processor": p})
+    wo = '{"tile": %d, "salt_groups": %d, "processor": "%s"}'
+    if decomposable:
+        # fold per-(tile, salt) partials into ONE lineage row per tile —
+        # a JVM groupBy whose input is one ROW per (tile, salt), so the
+        # exchange it adds shuffles a few bytes per subgroup, not data;
         # the tile is complete only when the whole run commits (the
         # commit is atomic), so per-tile resume semantics are unchanged
-        agg = lineage_pdf.groupby("tile_gid").agg(
-            partition_id=("partition_id", "max"),
-            rows_in=("rows_in", "sum"),
-            rows_out=("rows_out", "sum"),
-            wall_ms=("wall_ms", "max"),
-            # written parts only: empty (tile, salt) subgroups carry
-            # path == "" and are not parquet parts
-            n_parts=("path", lambda s: int((s != "").sum())),
-            any_ok=("status", lambda s: (s == "ok").any()),
+        lin = (
+            raw.groupBy("tile_gid")
+            .agg(
+                F.max("partition_id").cast("int").alias("partition_id"),
+                F.sum("rows_in").alias("rows_in"),
+                F.sum("rows_out").alias("rows_out"),
+                F.max("wall_ms").alias("wall_ms"),
+                (F.max(F.when(F.col("status") == "ok", 1).otherwise(0)) == 1
+                 ).alias("_ok"),
+                # written parts only: empty (tile, salt) subgroups carry
+                # path == "" -> the when() yields null -> collect_list
+                # drops it
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("path") != "", F.col("path"))
+                    )
+                ).alias("paths"),
+            )
+            .select(
+                "tile_gid", "partition_id", "rows_in", "rows_out", "wall_ms",
+                F.when(F.col("_ok"), "ok").otherwise("empty").alias("status"),
+                F.format_string(
+                    wo, F.col("tile_gid"), F.size("paths"), F.lit(proc_name)
+                ).alias("work_order"),
+                "paths",
+            )
         )
-        rows = [
-            LineageRow(
-                tile_gid=int(t),
-                partition_id=int(r.partition_id),
-                rows_in=int(r.rows_in),
-                rows_out=int(r.rows_out),
-                wall_ms=float(r.wall_ms),
-                status="ok" if r.any_ok else "empty",
-                work_order=_json.dumps(
-                    {"tile": int(t), "salt_groups": int(r.n_parts),
-                     "processor": proc_name}
-                ),
-            )
-            for t, r in agg.iterrows()
-        ]
     else:
-        rows = [
-            LineageRow(
-                tile_gid=int(r.tile_gid),
-                partition_id=int(r.partition_id),
-                rows_in=int(r.rows_in),
-                rows_out=int(r.rows_out),
-                wall_ms=float(r.wall_ms),
-                status=str(r.status),
-                work_order=_json.dumps(
-                    {"tile": int(r.tile_gid), "salt_groups": 1,
-                     "processor": proc_name}
-                ),
-            )
-            for r in lineage_pdf.itertuples()
+        lin = raw.select(
+            "tile_gid",
+            F.col("partition_id").cast("int").alias("partition_id"),
+            "rows_in", "rows_out", "wall_ms", "status",
+            F.format_string(
+                wo, F.col("tile_gid"), F.lit(1), F.lit(proc_name)
+            ).alias("work_order"),
+            F.when(F.col("path") != "", F.array(F.col("path")))
+            .otherwise(F.lit(None).cast("array<string>"))
+            .alias("paths"),
+        )
+    if todo_skip:
+        skip_rows = [
+            (int(t), -1, 0, 0, 0.0, "skipped",
+             _json.dumps({"tile": int(t), "salt_groups": 0,
+                          "processor": proc_name}), None)
+            for t in sorted(todo_skip)
         ]
-    rows += [
-        LineageRow(tile_gid=int(t), partition_id=-1, rows_in=0, rows_out=0,
-                   wall_ms=0.0, status="skipped",
-                   work_order=_json.dumps({"tile": int(t), "salt_groups": 0,
-                                           "processor": proc_name}))
-        for t in sorted(todo_skip)
-    ]
-    new_files = [p for p in lineage_pdf["path"] if p]
-    table.commit(new_files, rows)
+        lin = lin.unionByName(
+            spark.createDataFrame(
+                skip_rows,
+                schema=("tile_gid bigint, partition_id int, rows_in bigint, "
+                        "rows_out bigint, wall_ms double, status string, "
+                        "work_order string, paths array<string>"),
+            )
+        )
+
+    # distributed lineage write (this action also runs the workers),
+    # then a footer-stats-only commit
+    staging = table.stage_dir()
+    lin.write.parquet(staging)
+    table.commit_staged(staging)
     return table.lineage()
 
 

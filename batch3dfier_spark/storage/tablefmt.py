@@ -77,10 +77,12 @@ class IcebergishTable:
         self.meta_dir = os.path.join(root, "metadata")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
-        # Immutable-object caches: manifests and snapshot pointers never
-        # change once written, so these only ever grow.
+        # Immutable-object caches: manifests, snapshot pointers, and
+        # staged-lineage parquet parts never change once written, so
+        # these only ever grow.
         self._manifest_cache: dict[str, dict] = {}
         self._snap_cache: dict[int, dict] = {}
+        self._part_cache: dict[str, list[dict]] = {}
 
     # -- path portability ---------------------------------------------------
     # Manifests store data-file paths RELATIVE to the table root whenever
@@ -132,33 +134,146 @@ class IcebergishTable:
             self._manifest_cache[name] = m
         return m
 
-    def _resolve_chain(self, snapshot_id: int) -> tuple[list[str], list[dict]]:
+    def _part_rows(self, rel_path: str) -> list[dict]:
+        """Rows of one staged-lineage parquet part (immutable -> cached)."""
+        rows = self._part_cache.get(rel_path)
+        if rows is None:
+            import pyarrow.parquet as pq
+
+            rows = pq.read_table(self._abs(rel_path)).to_pylist()
+            self._part_cache[rel_path] = rows
+        return rows
+
+    @staticmethod
+    def _stats_overlap(stats: dict | None, lo: int | None,
+                       hi: int | None) -> bool:
+        """Can (stats) hold tiles in [lo, hi]?  Missing stats -> True
+        (must read); empty commits -> False."""
+        if stats is None:
+            return True
+        if stats.get("n_rows", 1) == 0:
+            return False
+        mn, mx = stats.get("min_tile"), stats.get("max_tile")
+        if lo is not None and mx is not None and mx < lo:
+            return False
+        if hi is not None and mn is not None and mn > hi:
+            return False
+        return True
+
+    @staticmethod
+    def _tile_of_path(p: str) -> int | None:
+        """Hive-style tile from a data path ('.../tile_gid=N/...')."""
+        marker = "tile_gid="
+        i = p.rfind(marker)
+        if i < 0:
+            return None
+        j = i + len(marker)
+        k = j
+        while k < len(p) and p[k].isdigit():
+            k += 1
+        return int(p[j:k]) if k > j else None
+
+    def _in_range(self, tile, lo, hi) -> bool:
+        if lo is not None and tile < lo:
+            return False
+        if hi is not None and tile > hi:
+            return False
+        return True
+
+    def _commit_content(
+        self, snap: dict, lo: int | None, hi: int | None
+    ) -> tuple[list[str], list[dict]]:
+        """(files, lineage rows) contributed by ONE commit, tile-range
+        pruned.  Staged-lineage manifests prune at part level via the
+        per-part min/max stats (parquet row-group footers at commit
+        time), then row-filter; inline manifests row-filter, and files
+        whose tile can't be derived from a hive-style path are kept
+        conservatively."""
+        name = snap.get("manifest")
+        if name is None:
+            return [], []
+        m = self._manifest(name)
+        sid = snap["snapshot_id"]
+        if "lineage_parquet" in m:
+            files: list[str] = []
+            rows: list[dict] = []
+            for part in m["lineage_parquet"]:
+                if not self._stats_overlap(part, lo, hi):
+                    continue
+                for r in self._part_rows(part["path"]):
+                    if not self._in_range(r["tile_gid"], lo, hi):
+                        continue
+                    files.extend(r.get("paths") or [])
+                    rows.append(
+                        {k: r[k] for k in _LINEAGE_COLS if k != "snapshot_id"}
+                        | {"snapshot_id": sid}
+                    )
+            return files, rows
+        files = list(m["files"])
+        rows = list(m["lineage"])
+        if lo is not None or hi is not None:
+            rows = [r for r in rows if self._in_range(r["tile_gid"], lo, hi)]
+            kept = []
+            for f in files:
+                t = self._tile_of_path(f)
+                if t is None or self._in_range(t, lo, hi):
+                    kept.append(f)
+            files = kept
+        return files, rows
+
+    def _resolve_chain(
+        self,
+        snapshot_id: int,
+        min_tile: int | None = None,
+        max_tile: int | None = None,
+    ) -> tuple[list[str], list[dict]]:
         """Cumulative (files, lineage rows) for a snapshot: walk the
         parent chain, oldest-first, concatenating per-commit manifests.
         O(total history) on first touch, O(1-ish) after via the
-        immutable-manifest cache.  Legacy inline snapshots act as a
-        cumulative base and terminate the walk."""
+        immutable-manifest/part caches.  Legacy inline snapshots act as
+        a cumulative base and terminate the walk.
+
+        min_tile/max_tile prune the walk Iceberg-style: the snapshot
+        pointer carries commit-level tile stats, so a commit whose range
+        is disjoint is skipped WITHOUT opening its manifest (let alone
+        its lineage parquet) — reading one tile's files from a
+        1000-commit table touches ~1 manifest, not 1000."""
         chain: list[dict] = []
         sid: int | None = snapshot_id
         base_files: list[str] = []
         base_lineage: list[dict] = []
+        pruning = min_tile is not None or max_tile is not None
         while sid is not None:
             snap = self._raw_snapshot(sid)
             if "manifest" in snap:
-                chain.append(snap)
+                if not pruning or self._stats_overlap(
+                    snap.get("stats"), min_tile, max_tile
+                ):
+                    chain.append(snap)
                 sid = snap["parent"]
             else:  # legacy cumulative snapshot: already holds full history
                 base_files = list(snap.get("files", []))
                 base_lineage = list(snap.get("lineage", []))
                 break
+        if pruning:
+            base_lineage = [
+                r for r in base_lineage
+                if self._in_range(r["tile_gid"], min_tile, max_tile)
+            ]
+            base_files = [
+                f for f in base_files
+                if (t := self._tile_of_path(f)) is None
+                or self._in_range(t, min_tile, max_tile)
+            ]
         files = list(base_files)
         lineage = list(base_lineage)
         for snap in reversed(chain):  # oldest -> newest
-            if snap["manifest"] is None:  # empty commit
-                continue
-            m = self._manifest(snap["manifest"])
-            files.extend(m["files"])
-            lineage.extend(m["lineage"])
+            f, r = self._commit_content(
+                snap, min_tile if pruning else None,
+                max_tile if pruning else None,
+            )
+            files.extend(f)
+            lineage.extend(r)
         return [self._abs(f) for f in files], lineage
 
     def current_snapshot(self) -> dict | None:
@@ -199,13 +314,34 @@ class IcebergishTable:
             json.dump(payload, f)
         os.replace(tmp, os.path.join(self.meta_dir, name))
 
+    def _next_sid(self) -> tuple[int, int | None]:
+        cur_name = self._current_name()
+        parent = self._load_snap(cur_name)["snapshot_id"] if cur_name else None
+        return (parent + 1) if parent else 1, parent
+
+    def _finish_commit(self, sid: int, parent: int | None,
+                       manifest_name: str | None,
+                       stats: dict | None) -> int:
+        """Shared commit tail: O(1) snapshot pointer (carrying the
+        commit-level tile stats used for pruned chain walks), then
+        atomically swap CURRENT."""
+        snap: dict = {"snapshot_id": sid, "parent": parent,
+                      "manifest": manifest_name}
+        if stats is not None:
+            snap["stats"] = stats
+        snap_name = f"snapshot-{sid:06d}.json"
+        self._write_atomic(snap_name, snap)
+        ptmp = os.path.join(self.meta_dir, f".CURRENT.{uuid.uuid4().hex}.tmp")
+        with open(ptmp, "w") as f:
+            f.write(snap_name)
+        os.replace(ptmp, os.path.join(self.meta_dir, "CURRENT"))
+        return sid
+
     def commit(self, new_files: list[str], lineage: list[LineageRow]) -> int:
         """Atomic append commit, O(new files + new lineage) metadata I/O:
         write one immutable manifest with only this commit's additions,
         then an O(1) snapshot pointer, then swap CURRENT."""
-        cur_name = self._current_name()
-        parent = self._load_snap(cur_name)["snapshot_id"] if cur_name else None
-        sid = (parent + 1) if parent else 1
+        sid, parent = self._next_sid()
         rows = []
         for r in lineage:
             r.snapshot_id = sid
@@ -219,40 +355,143 @@ class IcebergishTable:
                  "files": [self._rel(f) for f in new_files],
                  "lineage": rows},
             )
-        snap_name = f"snapshot-{sid:06d}.json"
-        self._write_atomic(
-            snap_name,
-            {"snapshot_id": sid, "parent": parent, "manifest": manifest_name},
-        )
-        ptmp = os.path.join(self.meta_dir, f".CURRENT.{uuid.uuid4().hex}.tmp")
-        with open(ptmp, "w") as f:
-            f.write(snap_name)
-        os.replace(ptmp, os.path.join(self.meta_dir, "CURRENT"))
-        return sid
+        if rows:
+            tiles = [r["tile_gid"] for r in rows]
+            stats = {"n_rows": len(rows), "min_tile": min(tiles),
+                     "max_tile": max(tiles)}
+        elif new_files:
+            stats = None  # files without lineage: range unknown, no pruning
+        else:
+            stats = {"n_rows": 0}
+        return self._finish_commit(sid, parent, manifest_name, stats)
+
+    def stage_dir(self) -> str:
+        """A fresh directory under metadata/ for a DISTRIBUTED lineage
+        write (Spark writes parquet parts straight into it — executor-
+        side, nothing through the driver).  Invisible until
+        commit_staged references it from a manifest."""
+        return os.path.join(self.meta_dir, f"lineage-{uuid.uuid4().hex}")
+
+    def commit_staged(self, staged_dir: str) -> int:
+        """Atomic commit of a staged-lineage directory (the de-drivered
+        dispatch path): lineage rows — including each tile's data-file
+        paths in a `paths` array column — were written as parquet parts
+        by the executors.  The driver reads only the parquet FOOTERS
+        (row counts + tile_gid row-group min/max) to build per-part
+        stats, writes a manifest listing the parts, and the usual O(1)
+        pointer.  Driver I/O is O(parts) (~shuffle partitions), not
+        O(tiles)."""
+        import pyarrow.parquet as pq
+
+        sid, parent = self._next_sid()
+        parts: list[dict] = []
+        if os.path.isdir(staged_dir):
+            for n in sorted(os.listdir(staged_dir)):
+                if not n.endswith(".parquet"):
+                    continue
+                p = os.path.join(staged_dir, n)
+                md = pq.ParquetFile(p).metadata
+                if md.num_rows == 0:
+                    continue
+                idx = next(
+                    (i for i in range(md.num_columns)
+                     if md.row_group(0).column(i).path_in_schema
+                     == "tile_gid"),
+                    None,
+                ) if md.num_row_groups else None
+                mins: list[int] = []
+                maxs: list[int] = []
+                if idx is not None:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            mins.append(int(st.min))
+                            maxs.append(int(st.max))
+                parts.append(
+                    {"path": os.path.relpath(p, self.root),
+                     "n_rows": md.num_rows,
+                     "min_tile": min(mins) if mins else None,
+                     "max_tile": max(maxs) if maxs else None}
+                )
+        manifest_name = None
+        stats: dict | None = {"n_rows": 0}
+        if parts:
+            manifest_name = f"manifest-{sid:06d}-{uuid.uuid4().hex}.json"
+            self._write_atomic(
+                manifest_name,
+                {"snapshot_id": sid, "lineage_parquet": parts},
+            )
+            mins = [p["min_tile"] for p in parts if p["min_tile"] is not None]
+            maxs = [p["max_tile"] for p in parts if p["max_tile"] is not None]
+            stats = {"n_rows": sum(p["n_rows"] for p in parts),
+                     "min_tile": min(mins) if mins else None,
+                     "max_tile": max(maxs) if maxs else None}
+        return self._finish_commit(sid, parent, manifest_name, stats)
 
     # -- reads ----------------------------------------------------------------
 
-    def files(self, snapshot_id: int | None = None) -> list[str]:
-        if snapshot_id is None:
-            name = self._current_name()
-            if name is None:
-                return []
-            snapshot_id = self._load_snap(name)["snapshot_id"]
-        return self._resolve_chain(snapshot_id)[0]
+    def _current_sid(self) -> int | None:
+        name = self._current_name()
+        if name is None:
+            return None
+        return self._load_snap(name)["snapshot_id"]
 
-    def lineage(self, snapshot_id: int | None = None) -> pd.DataFrame:
+    def files(
+        self,
+        snapshot_id: int | None = None,
+        min_tile: int | None = None,
+        max_tile: int | None = None,
+    ) -> list[str]:
+        """Committed data files, optionally restricted to a tile range —
+        the pruned path walks the snapshot pointers' commit-level stats
+        and never opens a disjoint commit's manifest or lineage parts."""
         if snapshot_id is None:
-            name = self._current_name()
-            if name is None:
+            snapshot_id = self._current_sid()
+            if snapshot_id is None:
+                return []
+        return self._resolve_chain(snapshot_id, min_tile, max_tile)[0]
+
+    def lineage(
+        self,
+        snapshot_id: int | None = None,
+        min_tile: int | None = None,
+        max_tile: int | None = None,
+    ) -> pd.DataFrame:
+        if snapshot_id is None:
+            snapshot_id = self._current_sid()
+            if snapshot_id is None:
                 return pd.DataFrame(columns=_LINEAGE_COLS)
-            snapshot_id = self._load_snap(name)["snapshot_id"]
-        rows = self._resolve_chain(snapshot_id)[1]
+        rows = self._resolve_chain(snapshot_id, min_tile, max_tile)[1]
         if not rows:
             return pd.DataFrame(columns=_LINEAGE_COLS)
         pdf = pd.DataFrame(rows)
         if "work_order" not in pdf.columns:  # pre-upgrade snapshots
             pdf["work_order"] = ""
         return pdf[_LINEAGE_COLS]
+
+    def lineage_row_bound(self) -> int:
+        """Upper bound on committed lineage rows, from pointer stats
+        alone where present (manifests are opened only for legacy
+        commits) — lets callers decide between a driver-side completed
+        set and a distributed anti-join without materializing either."""
+        sid = self._current_sid()
+        if sid is None:
+            return 0
+        total = 0
+        cur: int | None = sid
+        while cur is not None:
+            snap = self._raw_snapshot(cur)
+            if "manifest" not in snap:  # legacy cumulative base
+                total += len(snap.get("lineage", []))
+                break
+            stats = snap.get("stats")
+            if stats is not None:
+                total += stats.get("n_rows", 0)
+            elif snap["manifest"] is not None:
+                f, r = self._commit_content(snap, None, None)
+                total += len(r)
+            cur = snap["parent"]
+        return total
 
     def completed_tiles(self) -> set[int]:
         lin = self.lineage()
@@ -261,11 +500,69 @@ class IcebergishTable:
         done = lin[lin["status"].isin(["ok", "empty", "skipped"])]
         return set(done["tile_gid"].astype(int))
 
-    def read(self, spark, snapshot_id: int | None = None):
+    def completed_tiles_df(self, spark):
+        """Distinct completed tile_gids as a Spark DataFrame — the
+        scale-path resume input: staged-lineage parquet parts are read
+        by Spark DIRECTLY (executor-side, nothing materialized on the
+        driver); inline-JSON lineage rows (small by construction — they
+        only come from the driver-side commit() API) ride along via
+        createDataFrame.  Returns None for an empty table."""
+        from pyspark.sql import functions as F
+
+        sid = self._current_sid()
+        if sid is None:
+            return None
+        part_paths: list[str] = []
+        inline: list[tuple[int, str]] = []
+        cur: int | None = sid
+        while cur is not None:
+            snap = self._raw_snapshot(cur)
+            if "manifest" not in snap:
+                inline.extend(
+                    (int(r["tile_gid"]), str(r["status"]))
+                    for r in snap.get("lineage", [])
+                )
+                break
+            name = snap["manifest"]
+            if name is not None:
+                m = self._manifest(name)
+                if "lineage_parquet" in m:
+                    part_paths.extend(p["path"] for p in m["lineage_parquet"])
+                else:
+                    inline.extend(
+                        (int(r["tile_gid"]), str(r["status"]))
+                        for r in m["lineage"]
+                    )
+            cur = snap["parent"]
+        dfs = []
+        if part_paths:
+            dfs.append(
+                spark.read.parquet(*[self._abs(p) for p in part_paths])
+                .select("tile_gid", "status")
+            )
+        if inline:
+            dfs.append(
+                spark.createDataFrame(inline, "tile_gid bigint, status string")
+            )
+        if not dfs:
+            return None
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d)
+        return (
+            df.where(F.col("status").isin("ok", "empty", "skipped"))
+            .select("tile_gid")
+            .distinct()
+        )
+
+    def read(self, spark, snapshot_id: int | None = None,
+             min_tile: int | None = None, max_tile: int | None = None):
         """Committed-snapshot view as a DataFrame (reads only committed
         files — uncommitted task output is invisible).  snapshot_id
-        reads the table AS OF that commit (time travel)."""
-        fs = self.files(snapshot_id)
+        reads the table AS OF that commit (time travel); min_tile/
+        max_tile restrict the scan to that tile range via the pruned
+        metadata walk (Iceberg-style partition-summary skipping)."""
+        fs = self.files(snapshot_id, min_tile, max_tile)
         if not fs:
             raise ValueError("empty table (no committed snapshot)")
         return spark.read.parquet(*fs)
