@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_dedup",
+    "exact_dup_pairs",
     "minhash_signatures",
     "lsh_candidates",
     "verified_near_dups",
@@ -113,6 +114,29 @@ def exact_dedup(
             "group_size",
             (F.col(id_col) != F.col("keeper_id")).alias("is_dup"),
         )
+    )
+
+
+def exact_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b) edges linking every byte-identical duplicate to its
+    group's min-id keeper (id_a = keeper < id_b) — the star-graph form
+    of exact duplication, ready to union into a near-dup pair graph
+    before connected_components.  Needed because minhash_near_dups
+    PREFILTERS exact dups out of the LSH funnel (they would make hot
+    buckets), so its pair output alone never names them (round-3
+    ADVICE).  Same one-shuffle window shape as exact_dedup."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_sha")
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha"))
+        .withColumn("_keeper", F.min(id_col).over(w))
+        .where(F.col(id_col) != F.col("_keeper"))
+        .select(F.col("_keeper").alias("id_a"), F.col(id_col).alias("id_b"))
     )
 
 

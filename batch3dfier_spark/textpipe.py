@@ -27,9 +27,9 @@ Config shape::
         min_tokens: 10
         max_dup_line_frac: 0.3
         max_top_bigram_frac: 0.2
-      - op: near_dedup                   # minhash/simhash clusters,
-        method: minhash                  #   keep the min-id doc per
-        threshold: 0.5                   #   connected component
+      - op: near_dedup                   # minhash|simhash|embedding
+        method: minhash                  #   clusters; keep the min-id
+        threshold: 0.5                   #   doc per connected component
       - op: decontaminate                # drop docs overlapping an
         benchmark: /path/eval.parquet    #   eval corpus (word n-grams)
         ngram: 4
@@ -53,7 +53,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["run_textpipe", "parse_textpipe_config"]
+__all__ = ["run_textpipe", "parse_textpipe_config", "CUSTOM_OPS"]
+
+# Extension surface: user-registered steps.  A pipeline config may name
+# any op registered here; the callable receives (spark, df, step) and
+# returns the transformed DataFrame.  Consulted before the built-ins,
+# so deployments can also shadow a built-in with a tuned variant.
+CUSTOM_OPS: dict = {}
 
 
 def parse_textpipe_config(path: str) -> dict:
@@ -73,6 +79,8 @@ def parse_textpipe_config(path: str) -> dict:
 
 def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
     op = step["op"]
+    if op in CUSTOM_OPS:
+        return CUSTOM_OPS[op](spark, df, step)
     if op == "exact_dedup":
         from .operators.dedup import exact_dedup
 
@@ -110,6 +118,7 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
     if op == "near_dedup":
         from .operators.dedup import (
             connected_components,
+            exact_dup_pairs,
             minhash_near_dups,
             simhash_near_dups,
         )
@@ -124,13 +133,38 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
                 df, threshold=float(step.get("threshold", 0.5)),
                 persist_intermediates=False,
             )
+            # minhash_near_dups PREFILTERS byte-identical docs out of the
+            # LSH funnel, so its pairs never name exact duplicates; union
+            # the exact-dup star edges back in so a pipeline running
+            # near_dedup WITHOUT a preceding exact_dedup still drops them
+            # (round-3 ADVICE).  simhash/embedding don't need this: an
+            # identical doc has an identical signature/vector and pairs
+            # up through the normal candidate path.
+            pairs = pairs.select("id_a", "id_b").unionByName(
+                exact_dup_pairs(df)
+            )
         elif method == "simhash":
             pairs = simhash_near_dups(
                 df, max_hamming=int(step.get("max_hamming", 8))
             )
+        elif method == "embedding":
+            from .operators.dedup import embedding_near_dups_lsh
+
+            # the recall-gated (>=0.95) hyperplane-LSH funnel: buckets ->
+            # candidate pairs -> exact quantized re-score; requires the
+            # frame to carry an embedding column (e.g. joined upstream)
+            pairs = embedding_near_dups_lsh(
+                df,
+                dim=int(step["dim"]),
+                threshold=float(step.get("threshold", 0.4)),
+                id_col="doc_id",
+                vec_col=step.get("vec_col", "embedding"),
+            )
         else:
-            raise ValueError(f"near_dedup method must be minhash|simhash,"
-                             f" got {method}")
+            raise ValueError(
+                f"near_dedup method must be minhash|simhash|embedding,"
+                f" got {method}"
+            )
         comp = connected_components(pairs)
         # keeper = the doc whose id IS the component label; docs never
         # paired keep themselves by absence from the drop list
@@ -181,23 +215,63 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
     raise ValueError(f"unknown textpipe op: {op}")
 
 
+def _parquet_dir_rows(path: str) -> int:
+    """Row count of a parquet directory from file FOOTERS only — no
+    Spark job, no data read (the same trick commit_staged uses)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for n in os.listdir(path):
+        if n.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, n)).metadata.num_rows
+    return total
+
+
 def run_textpipe(spark: SparkSession, cfg: dict) -> dict:
     """Run the configured pipeline; write parquet to output.path plus a
     report.json with per-step row counts.  Returns the report dict.
 
-    Per-step counts cost one extra action each — acceptable bookkeeping
-    at pipeline granularity (NOT per row/tile), and the same lineage
-    idea as the tiling app's per-tile rows_in/rows_out."""
+    STAGE-MATERIALIZED (round-3 VERDICT #2): each step's output is
+    written to a scratch parquet dir and re-read, so (a) step k+1's
+    plan starts from a fresh scan — step k's work (a minhash funnel, a
+    decontamination join) executes exactly ONCE, never re-run by a
+    downstream action — and (b) the per-step row counts come from the
+    written files' footer metadata, costing zero extra Spark jobs.
+    The old shape (one lazy chain + df.count() per step) re-executed
+    steps 1..k for every count: O(steps^2) total work on what is
+    supposed to be the 100 TB surface.  The write is proportional to
+    each step's OUTPUT (monotone shrinking for filters), which is also
+    exactly what a resumable cluster run wants durable anyway; the last
+    step writes straight to output.path (no extra copy)."""
     df = spark.read.parquet(cfg["input"]["documents"])
-    report = {"steps": [], "rows_in": df.count()}
-    for step in cfg.get("steps", []):
-        df = _apply_step(spark, df, step)
-        report["steps"].append({"op": step["op"], "rows": df.count()})
+    report: dict = {"steps": [], "rows_in": df.count()}
+    steps = cfg.get("steps", [])
     out = cfg["output"]["path"]
-    df.write.mode("overwrite").parquet(out)
-    report["rows_out"] = spark.read.parquet(out).count()
-    # underscore prefix: Spark/Hadoop file indexes ignore _-files (like
-    # _SUCCESS), so the report can live inside the dataset directory
-    with open(os.path.join(out, "_report.json"), "w") as f:
-        json.dump(report, f, indent=2)
+    from .scratch import fresh_scratch_dir
+
+    stage_root = fresh_scratch_dir("textpipe")
+    try:
+        for k, step in enumerate(steps):
+            df = _apply_step(spark, df, step)
+            dest = (
+                out if k == len(steps) - 1
+                else os.path.join(stage_root, f"step_{k:02d}_{step['op']}")
+            )
+            df.write.mode("overwrite").parquet(dest)
+            report["steps"].append(
+                {"op": step["op"], "rows": _parquet_dir_rows(dest)}
+            )
+            df = spark.read.parquet(dest)
+        if not steps:
+            df.write.mode("overwrite").parquet(out)
+        report["rows_out"] = _parquet_dir_rows(out)
+        # underscore prefix: Spark/Hadoop file indexes ignore _-files
+        # (like _SUCCESS), so the report can live inside the dataset
+        # directory
+        with open(os.path.join(out, "_report.json"), "w") as f:
+            json.dump(report, f, indent=2)
+    finally:
+        import shutil
+
+        shutil.rmtree(stage_root, ignore_errors=True)
     return report
