@@ -1,9 +1,12 @@
 """Similarity search over embedding columns (array<float>).
 
-- brute-force cosine top-k: the correctness baseline.  The query set is
-  broadcast; scoring is a JVM higher-order-function expression
-  (zip_with + aggregate over doubles — whole-stage codegen, no Python);
-  top-k is a ranking window partitioned by query id.
+- brute-force cosine top-k: the correctness baseline.  The query matrix
+  is broadcast; scoring runs in an Arrow-batched kernel with
+  sequential-fold accumulation (bit-identical to the SQL oracle) that
+  emits per-batch partial top-k; the final ranking window is tiny.  No
+  JVM higher-order-function lambdas anywhere in this module — they
+  defeat Spark's codegen cache and cost seconds of janino compile per
+  fresh plan (round-3 discovery).
 - LSH-bucketed ANN (the scale path): deterministic random-hyperplane
   signs from a fixed-seed projection matrix; candidates = same bucket
   in >=1 of `tables` hash tables; exact re-scoring only within buckets.
@@ -35,18 +38,55 @@ __all__ = [
 ]
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _seq_cosine(A: np.ndarray, B: np.ndarray, round_to: int) -> np.ndarray:
+    """Row-wise cosine with SEQUENTIAL-over-dims accumulation
+    (vectorized over rows): acc_{j+1} = acc_j + a_j*b_j — the exact
+    left-fold order of DuckDB's LIST_DOT_PRODUCT, so every value is
+    bit-identical to the SQL oracle (a numpy pairwise/SIMD dot would
+    drift in the last ulp and flip rank ties).  Rounding is half-away
+    on the binary double, the rule C/DuckDB ROUND applies."""
+    n, dim = A.shape
+    dot = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    for j in range(dim):
+        a = A[:, j]
+        b = B[:, j]
+        dot += a * b
+        na += a * a
+        nb += b * b
+    cos = dot / (np.sqrt(na) * np.sqrt(nb))
+    p = 10.0 ** round_to
+    return np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
 
 
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
+def _score_pairs(paired: DataFrame, round_to: int = 6) -> DataFrame:
+    """(query_id, cand_id, cosine) from a frame carrying query_vec /
+    cand_vec columns — one Arrow-batched kernel, NO JVM higher-order-
+    function lambdas.  Round-3 discovery: every fresh plan containing
+    F.aggregate/zip_with lambdas pays seconds of UNCACHEABLE janino
+    codegen; the kernel costs one Arrow hop instead and its values stay
+    bit-identical to the oracle (see _seq_cosine)."""
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["query_vec"]])
+            B = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["cand_vec"]])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "cand_id": pdf["cand_id"].to_numpy(),
+                    "cosine": _seq_cosine(A, B, round_to),
+                }
+            )
+
+    return paired.select(
+        "query_id", "cand_id", "query_vec", "cand_vec"
+    ).mapInPandas(score, schema="query_id bigint, cand_id bigint, cosine double")
 
 
 def cosine_topk(
@@ -58,30 +98,75 @@ def cosine_topk(
     round_to: int = 6,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector (self-pairs
-    excluded).  queries is expected to be small -> broadcast cross join;
-    all arithmetic in doubles, JVM-side."""
-    cand = embeddings.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).cast("array<double>").alias("cand_vec"),
-    )
-    q = F.broadcast(
+    excluded).  The query matrix (small by contract) is broadcast as
+    numpy; ONE Arrow kernel per candidate batch scores all pairs with
+    sequential-fold accumulation (bit-identical to the SQL oracle — see
+    _seq_cosine) and emits only the batch's per-query top-k, so the
+    ranking window sees O(n_batches * queries * k) rows instead of the
+    full n*q cross product — no JVM HOF lambdas, no pair
+    materialization."""
+    spark = embeddings.sparkSession
+    qpdf = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("query_vec"),
         )
+        .toPandas()
     )
-    scored = (
-        cand.crossJoin(q)
-        .where(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(
-                _dot(F.col("query_vec"), F.col("cand_vec"))
-                / (_norm(F.col("query_vec")) * _norm(F.col("cand_vec"))),
-                round_to,
-            ).alias("cosine"),
-        )
+    q_ids = qpdf["query_id"].to_numpy()
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qpdf["query_vec"]])
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, Qm = bc.value
+        m, dim = Qm.shape
+        nq = np.zeros(m)
+        for j in range(dim):
+            nq += Qm[:, j] * Qm[:, j]
+        qn = np.sqrt(nq)
+        p = 10.0 ** round_to
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["cand_id"].to_numpy()
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["cand_vec"]])
+            n = V.shape[0]
+            dot = np.zeros((n, m))
+            nv = np.zeros(n)
+            for j in range(dim):  # sequential fold == oracle's order
+                vj = V[:, j]
+                dot += vj[:, None] * Qm[None, :, j]
+                nv += vj * vj
+            cos = dot / (np.sqrt(nv)[:, None] * qn[None, :])
+            cos = np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
+            outs = []
+            for c in range(m):
+                col = cos[:, c]
+                keep = ids != qi[c]  # self-pair excluded
+                cid = ids[keep]
+                cc = col[keep]
+                if cid.size == 0:
+                    continue
+                # per-batch partial top-k (same comparator as the final
+                # ranking window: cosine desc, cand_id asc) — a valid
+                # partial reduction for top-k
+                order = np.lexsort((cid, -cc))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qi[c], "cand_id": cid[order],
+                         "cosine": cc[order]}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cand_vec"),
+    ).mapInPandas(
+        score, schema="query_id bigint, cand_id bigint, cosine double"
     )
     return _rank_topk(scored, k)
 
@@ -214,18 +299,8 @@ def lsh_ann_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("query_vec"),
     )
-    scored = (
-        pairs.join(cand, "cand_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(
-                _dot(F.col("query_vec"), F.col("cand_vec"))
-                / (_norm(F.col("query_vec")) * _norm(F.col("cand_vec"))),
-                6,
-            ).alias("cosine"),
-        )
+    scored = _score_pairs(
+        pairs.join(cand, "cand_id").join(F.broadcast(q), "query_id")
     )
     return _rank_topk(scored, k)
 
@@ -316,6 +391,50 @@ def _probe_centroids(queries: DataFrame, centroids: np.ndarray,
     )
 
 
+def _assign_partial_sums(df: DataFrame, centroids: np.ndarray,
+                         id_col: str, vec_col: str) -> DataFrame:
+    """ONE fused pass per Lloyd round: argmin-assign each vector to its
+    nearest centroid (same exact metric/tie rule as _assign_centroids)
+    AND fold per-batch partial sums in the kernel, emitting at most
+    (n_centroids x dim) rows per BATCH — (cid, dim, s, cnt).  Components
+    are quantized to the 2^20 integer grid before summing, so s is an
+    exact int64 and the grand total is bit-identical under ANY
+    partitioning/batching/summation order (the cross-engine determinism
+    trick from embedding_near_dups, applied to make k-means itself
+    reproducible).  Headroom: |s| < rows_per_cluster x 2^20 x max|x| —
+    int64 holds ~2^42 rows per cluster at unit-scale embeddings."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        c_sq = (C * C).sum(axis=1)
+        k, dim = C.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = -2.0 * (V @ C.T) + c_sq[None, :]
+            cid = d.argmin(axis=1)
+            Q = _quantize_half_away(V).astype(np.int64)
+            S = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(S, cid, Q)
+            cnt = np.bincount(cid, minlength=k).astype(np.int64)
+            nz = np.nonzero(cnt)[0]
+            yield pd.DataFrame(
+                {
+                    "cid": np.repeat(nz, dim).astype("int32"),
+                    "dim": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                    "s": S[nz].ravel(),
+                    "cnt": np.repeat(cnt[nz], dim),
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(
+        sums, schema="cid int, dim int, s bigint, cnt bigint"
+    )
+
+
 def ivf_build(
     embeddings: DataFrame,
     dim: int,
@@ -328,13 +447,18 @@ def ivf_build(
     n_centroids lowest-id vectors) and `iters` Lloyd rounds run as
     DataFrame jobs.  Returns (centroids, assignments DF (id, cid)).
 
-    Scale shape: each round is one mapInPandas assignment pass (matmul
-    against the broadcast centroid matrix) + one elementwise-mean agg.
-    The mean runs as posexplode -> groupBy(cid, dim).avg — a shuffle of
-    (n_vectors x dim) scalars — and only (n_centroids x dim) tiny rows
-    come back to the driver.  Empty clusters keep their previous
-    centroid.  Centroids are rounded to 1e-6 so the index is stable
-    against float-sum ordering across cluster layouts."""
+    Scale shape (round-3 VERDICT #3): each round is ONE fused
+    mapInPandas pass (matmul assignment + in-kernel partial sums —
+    _assign_partial_sums) followed by a groupBy(cid, dim) over at most
+    n_batches x n_centroids x dim TINY rows; only (n_centroids x dim)
+    values reach the driver.  The previous shape shuffled
+    n_vectors x dim scalar rows per round (posexplode -> avg) plus a
+    full join back to the vectors.  Sums are integer-quantized, so the
+    new centroids are bit-identical regardless of partitioning (no
+    float-sum ordering sensitivity at all — stronger than the 1e-6
+    rounding that used to paper over it, which is kept only to keep
+    centroid literals short).  Empty clusters keep their previous
+    centroid."""
     seed = (
         embeddings.orderBy(F.col(id_col)).limit(n_centroids)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
@@ -345,18 +469,19 @@ def ivf_build(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    from .dedup import QUANT as _Q
+
     for _ in range(iters):
-        assigned = _assign_centroids(q, C, id_col, "_v")
-        means = (
-            q.join(assigned, id_col)
-            .select("cid", F.posexplode("_v").alias("dim", "val"))
+        sums = (
+            _assign_partial_sums(q, C, id_col, "_v")
             .groupBy("cid", "dim")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
             .toPandas()
         )
         C = C.copy()
-        for cid, grp in means.groupby("cid"):
-            C[int(cid)] = grp.sort_values("dim")["m"].to_numpy()
+        for cid, grp in sums.groupby("cid"):
+            g = grp.sort_values("dim")
+            C[int(cid)] = g["s"].to_numpy() / g["cnt"].to_numpy() / _Q
         C = np.round(C, 6)
     return C, _assign_centroids(q, C, id_col, "_v")
 
@@ -409,19 +534,7 @@ def ivf_topk(
             F.col(vec_col).cast("array<double>").alias("query_vec"),
         )
     )
-    scored = (
-        cand_ids.join(cand, "cand_id")
-        .join(qv, "query_id")
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(
-                _dot(F.col("query_vec"), F.col("cand_vec"))
-                / (_norm(F.col("query_vec")) * _norm(F.col("cand_vec"))),
-                6,
-            ).alias("cosine"),
-        )
-    )
+    scored = _score_pairs(cand_ids.join(cand, "cand_id").join(qv, "query_id"))
     return _rank_topk(scored, k)
 
 
@@ -494,17 +607,5 @@ def ivf_topk_frozen(
             F.col(vec_col).cast("array<double>").alias("query_vec"),
         )
     )
-    scored = (
-        cand_ids.join(cand, "cand_id")
-        .join(qv, "query_id")
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(
-                _dot(F.col("query_vec"), F.col("cand_vec"))
-                / (_norm(F.col("query_vec")) * _norm(F.col("cand_vec"))),
-                6,
-            ).alias("cosine"),
-        )
-    )
+    scored = _score_pairs(cand_ids.join(cand, "cand_id").join(qv, "query_id"))
     return _rank_topk(scored, k)

@@ -1,11 +1,19 @@
 """Text analysis for the training-data pipeline: language-ID, quality
 scoring, token counting, document fingerprinting.
 
-All hot-path computation is pure JVM Column expressions (regexp, array
-higher-order functions) — no Python UDFs.  Every function has an exact
-ANSI-SQL twin (DuckDB) used by the driver oracle; integer arithmetic is
-kept inside int64 (Spark 4 runs ANSI mode: overflow would raise, so the
-rolling fingerprint is reduced mod 2^31 at every step).
+Execution shape (revised in round 4): the scalar helpers that stay hot
+in JVM whole-stage codegen (token_count — plain split/size/when, no
+lambdas) remain Column expressions; everything that previously needed
+JVM higher-order-function LAMBDAS (F.filter/transform/aggregate for
+stopword counts, language hits, and the rolling fingerprint) now runs
+in ONE Arrow-batched kernel.  Round-3 discovery: HOF lambdas defeat
+Spark's codegen cache — EVERY fresh plan containing them pays seconds
+of janino compilation (that one-time cost dominated dedup_ngram at
+4.6 s wall for 0.5 s of work), which is a landmine for a fleet
+submitting fresh plans.  The kernel outputs are exact integers or
+exact-integer ratios, so the DuckDB SQL twins reproduce them
+bit-for-bit; ratio rounding is half-away-from-zero (floor(|x|*1e6+.5)),
+the same rule C/DuckDB ROUND applies to doubles.
 """
 
 from __future__ import annotations
@@ -15,9 +23,6 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count",
-    "quality_scores",
-    "lang_scores",
-    "fingerprint",
     "add_textstats",
     "repetition_stats",
 ]
@@ -36,6 +41,12 @@ STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
 FP_MOD = 2_147_483_648  # 2^31: rolling-hash modulus (ANSI-safe)
 FP_MUL = 31
 
+# ASCII whitespace class — matches Java \s (Spark) and RE2 \s (DuckDB)
+# exactly; python's own \s would additionally match unicode spaces and
+# silently diverge from the SQL twin on non-ASCII corpora
+_WS_RE = r"[ \t\n\x0b\f\r]+"
+_PUNCT = set(".,;:!?")
+
 
 def _tokens(text: Column) -> Column:
     # empty-safe whitespace tokenization; identical semantics to
@@ -44,76 +55,156 @@ def _tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count (0 for blank text)."""
+    """Whitespace token count (0 for blank text).  Pure JVM — split/
+    size/when are ordinary expressions (no HOF lambdas), so this stays
+    inside whole-stage codegen for filter pushdown in pipelines."""
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.size(_tokens(text))
     )
 
 
-def quality_scores(text: Column) -> dict[str, Column]:
-    """Length / punctuation / stopword / word-shape ratios (rounded so
-    oracle value-hash comparison is float-noise-proof)."""
-    n_chars = F.length(text)
-    toks = _tokens(text)
-    n_tokens = token_count(text)
-    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    stop_arr = F.array([F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
-    safe = lambda num, den: F.round(
-        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0)), 6
+def _py_tokens(text: str) -> list[str]:
+    """The SQL twin's tokenization, in python: TRIM strips SPACES (like
+    DuckDB TRIM), then split on the ASCII whitespace class."""
+    import re
+
+    t = text.strip(" ")
+    if not t:
+        return []
+    return re.split(_WS_RE, t)
+
+
+def _round6(x: float) -> float:
+    """round(x, 6) half-away-from-zero on the binary double — the rule
+    DuckDB ROUND applies; inputs here are quotients of exact ints."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def add_textstats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Attach the full textstats column family in ONE Arrow kernel:
+    n_chars, n_tokens, punct/alpha/stopword ratios, avg token length,
+    per-language marker hits + arg-max prediction (tie-break: language
+    name ascending), and the order-sensitive rolling fingerprint
+    fold((acc*31 + int(sha256(tok)[:15hex])) mod 2^31).
+
+    Cross-engine exactness: every count is an integer, every ratio one
+    IEEE division of exact integers rounded half-away at 1e-6, and the
+    fingerprint is pure int arithmetic — so the DuckDB twin
+    (plans/queries._sql_textstats) reproduces all values bit-for-bit.
+    Per-token sha256 is memoized per batch (web text repeats words
+    heavily, so unique-token hashing is a small fraction of token
+    count)."""
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
     )
-    return {
-        "n_chars": n_chars.cast("bigint"),
-        "n_tokens": n_tokens.cast("bigint"),
-        "punct_ratio": safe(n_punct, n_chars),
-        "alpha_ratio": safe(n_alpha, n_chars),
-        "stopword_ratio": safe(n_stop, n_tokens),
-        # total non-whitespace chars / token count
-        "avg_token_len": safe(
-            F.length(F.regexp_replace(text, r"\s", "")), n_tokens
-        ),
-    }
 
+    langs_sorted = sorted(LANG_MARKERS)  # argmax scan order (de,en,fr,nl)
+    marker_sets = {lg: set(ws) for lg, ws in LANG_MARKERS.items()}
+    stop_set = set(STOPWORDS)
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Marker-word hit counts per language + arg-max prediction
-    (deterministic tie-break: language name ascending)."""
-    toks = F.transform(_tokens(text), lambda t: F.lower(t))
-    counts = {}
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array([F.lit(w) for w in markers])
-        counts[f"hits_{lang}"] = F.size(
-            F.filter(toks, lambda t: F.array_contains(arr, t))
-        ).cast("bigint")
-    # argmax with name-ascending tie-break, expression-only
-    pred = None
-    best = None
-    for lang in sorted(LANG_MARKERS):
-        c = counts[f"hits_{lang}"]
-        if pred is None:
-            pred, best = F.lit(lang), c
-        else:
-            cond = c > best
-            pred = F.when(cond, F.lit(lang)).otherwise(pred)
-            best = F.when(cond, c).otherwise(best)
-    counts["lang_pred"] = pred
-    return counts
-
-
-def fingerprint(text: Column) -> Column:
-    """Order-sensitive rolling document fingerprint:
-    fold over tokens of (acc * 31 + tokhash) mod 2^31, with
-    tokhash = int(first 15 hex chars of sha256(token)).
-    Pure int64 arithmetic -> exact in any engine."""
-    toks = _tokens(text)
-    tok_hash = lambda w: F.conv(F.substring(F.sha2(w, 256), 1, 15), 16, 10).cast("bigint")
-    fp = F.aggregate(
-        toks,
-        F.lit(0).cast("bigint"),
-        lambda acc, w: F.pmod(acc * F.lit(FP_MUL) + tok_hash(w), F.lit(FP_MOD)),
+    new_fields = [
+        StructField("n_chars", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("punct_ratio", DoubleType()),
+        StructField("alpha_ratio", DoubleType()),
+        StructField("stopword_ratio", DoubleType()),
+        StructField("avg_token_len", DoubleType()),
+        StructField("hits_en", LongType()),
+        StructField("hits_nl", LongType()),
+        StructField("hits_de", LongType()),
+        StructField("hits_fr", LongType()),
+        StructField("lang_pred", StringType()),
+        StructField("fingerprint", LongType()),
+    ]
+    # withColumns semantics: a stat column REPLACES an input column of
+    # the same name in place (e.g. the documents table's own n_chars);
+    # genuinely new columns append in order
+    by_name = {f.name: f for f in new_fields}
+    fields = [by_name.pop(f.name, f) for f in df.schema.fields]
+    out_schema = StructType(
+        fields + [f for f in new_fields if f.name in by_name]
     )
-    return F.when(F.length(F.trim(text)) == 0, F.lit(0).cast("bigint")).otherwise(fp)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sha_memo: dict[str, int] = {}
+
+        def tok_hash(w: str) -> int:
+            h = sha_memo.get(w)
+            if h is None:
+                h = int(hashlib.sha256(w.encode("utf-8")).hexdigest()[:15], 16)
+                sha_memo[w] = h
+            return h
+
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: [] for k in (
+                    "n_chars", "n_tokens", "punct_ratio", "alpha_ratio",
+                    "stopword_ratio", "avg_token_len", "hits_en", "hits_nl",
+                    "hits_de", "hits_fr", "lang_pred", "fingerprint",
+                )
+            }
+            for txt in pdf[text_col]:
+                txt = txt if isinstance(txt, str) else ""
+                toks = _py_tokens(txt)
+                low = [t.lower() for t in toks]
+                n_chars = len(txt)
+                n_tokens = len(toks)
+                n_punct = sum(c in _PUNCT for c in txt)
+                n_alpha = sum(
+                    ("a" <= c <= "z") or ("A" <= c <= "Z") for c in txt
+                )
+                n_stop = sum(t in stop_set for t in low)
+                n_nonws = sum(
+                    c not in " \t\n\x0b\f\r" for c in txt
+                )
+                hits = {
+                    lg: sum(t in marker_sets[lg] for t in low)
+                    for lg in LANG_MARKERS
+                }
+                # argmax, name-ascending scan, strictly-greater replaces
+                pred, best = langs_sorted[0], hits[langs_sorted[0]]
+                for lg in langs_sorted[1:]:
+                    if hits[lg] > best:
+                        pred, best = lg, hits[lg]
+                fp = 0
+                for t in toks:
+                    fp = (fp * FP_MUL + tok_hash(t)) % FP_MOD
+                cols["n_chars"].append(n_chars)
+                cols["n_tokens"].append(n_tokens)
+                cols["punct_ratio"].append(
+                    _round6(n_punct / n_chars) if n_chars else 0.0
+                )
+                cols["alpha_ratio"].append(
+                    _round6(n_alpha / n_chars) if n_chars else 0.0
+                )
+                cols["stopword_ratio"].append(
+                    _round6(n_stop / n_tokens) if n_tokens else 0.0
+                )
+                cols["avg_token_len"].append(
+                    _round6(n_nonws / n_tokens) if n_tokens else 0.0
+                )
+                for lg in LANG_MARKERS:
+                    cols[f"hits_{lg}"].append(hits[lg])
+                cols["lang_pred"].append(pred)
+                cols["fingerprint"].append(fp)
+            out = pdf.copy()
+            for k, v in cols.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(stats, schema=out_schema)
 
 
 def repetition_stats(
@@ -175,13 +266,6 @@ def repetition_stats(
         schema=(f"{id_col} bigint, dup_line_frac double, "
                 "dup_line_char_frac double, top_bigram_frac double"),
     )
-
-
-def add_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full textstats column family."""
-    t = F.col(text_col)
-    cols = {**quality_scores(t), **lang_scores(t), "fingerprint": fingerprint(t)}
-    return df.withColumns(cols)
 
 
 # ---------------------------------------------------------------------------
