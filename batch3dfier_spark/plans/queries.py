@@ -617,28 +617,49 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _sql_byte(h: str, pos: str, guard: bool = False) -> str:
+    """SQL for the UTF-8 byte value at 1-based byte position `pos` of a
+    hex-encoded blob expression `h` (DuckDB hex() = uppercase).  Each
+    byte is two hex chars; a nibble is ascii(c) - 48 for digits / - 55
+    for A-F — the same hex->int trick as _sql_hex15.  With guard=True,
+    positions past the end yield 0 (the engine's zero-padding)."""
+
+    def nib(p):
+        c = f"ascii({h}[{p}:{p}])"
+        return f"({c} - CASE WHEN {c} <= 57 THEN 48 ELSE 55 END)"
+
+    v = f"({nib(f'2*({pos}) - 1')} * 16 + {nib(f'2*({pos})')})"
+    if guard:
+        return f"CASE WHEN LENGTH({h}) >= 2*({pos}) THEN {v} ELSE 0 END"
+    return v
+
+
 def _sql_dedup_minhash() -> str:
-    # ASCII-ONLY ORACLE ASSUMPTION (shared by _sql_dedup_simhash and
-    # _sql_ann_lsh band hashing): these SQL twins hash per-CHARACTER via
-    # ascii(text[i:i]) and truncate tokens at 32 CHARACTERS, while the
-    # engine hashes UTF-8 BYTES truncated at 32 BYTES.  The two agree
-    # exactly iff the corpus is pure ASCII — true for the driver-
-    # generated documents fixture (TESTDATA.md) and asserted in
-    # tests/test_dedup.py::test_corpus_is_ascii so the invariant is
-    # enforced, not incidental.  Non-ASCII corpora need a byte-level
-    # oracle (unnest(encode(text)) in DuckDB) before trusting hashes.
+    # BYTE-LEVEL ORACLE (round-4, VERDICT #6): the engine hashes UTF-8
+    # BYTES (dedup._shingle_hashes / _token_hashes); these SQL twins now
+    # recompute the same byte values from hex(encode(text)) instead of
+    # ascii(text[i:i]) per CHARACTER, so minhash/simhash hashes agree on
+    # non-ASCII corpora too (multibyte agreement is pinned by
+    # tests/test_dedup.py::test_minhash_simhash_byte_oracle_non_ascii).
+    # Remaining boundary rule: tokenization is python str.split() vs SQL
+    # regex '\\s+' — identical unless the corpus contains NON-ASCII
+    # WHITESPACE (U+00A0, U+3000, ...), which the fixtures avoid.
     from ..operators.dedup import MERSENNE, _perm_params, _token_weights
 
     cap = 128
     # shingle weights: descending powers P^(k-1-j), k=5 (dedup._shingle_hashes)
     w = [int(v) for v in _token_weights(5)][::-1]
+    # shingle i (1-based over BYTES): sum_j byte(i+j) * P^(4-j); i+4 <= nb
+    # inside the RANGE, so no end guard needed
     sh_terms = " + ".join(
-        f"CAST(ascii(text[i+{j}:i+{j}]) AS HUGEINT) * {w[j]}" for j in range(5)
+        f"CAST({_sql_byte('hx', f'i + {j}')} AS HUGEINT) * {w[j]}"
+        for j in range(5)
     )
-    # len < 5: the engine zero-pads to one shingle; out-of-range slices
-    # give ascii('') = 0, so the same 5-term sum at i=1 reproduces it
+    # nb < 5: the engine zero-pads the byte string to one shingle; the
+    # guarded byte expr gives 0 past the end, reproducing it at i=1
     pad_terms = " + ".join(
-        f"CAST(ascii(text[{j + 1}:{j + 1}]) AS HUGEINT) * {w[j]}" for j in range(5)
+        f"CAST({_sql_byte('hx', str(j + 1), guard=True)} AS HUGEINT) * {w[j]}"
+        for j in range(5)
     )
     a, b = _perm_params(64)
     mh_cols = ",\n         ".join(
@@ -661,16 +682,16 @@ def _sql_dedup_minhash() -> str:
     )
     return f"""
 WITH keepers AS (
-  SELECT doc_id, text
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
   FROM (SELECT doc_id, text,
                MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
         FROM documents)
   WHERE doc_id = keeper
 ), sh AS (
   SELECT doc_id,
-         LIST_DISTINCT(CASE WHEN LENGTH(text) >= 5 THEN
+         LIST_DISTINCT(CASE WHEN nb >= 5 THEN
            [({sh_terms}) % 18446744073709551616
-            FOR i IN RANGE(1, LENGTH(text) - 3)]
+            FOR i IN RANGE(1, nb - 3)]
          ELSE [({pad_terms}) % 18446744073709551616] END) AS shingles
   FROM keepers
 ), mh AS (
@@ -722,8 +743,12 @@ def _sql_dedup_simhash() -> str:
     from ..operators.dedup import _TOKEN_MAX_BYTES, _token_weights
 
     w = [int(v) for v in _token_weights(_TOKEN_MAX_BYTES)]
+    # byte-level (VERDICT r3 #6): hash the first 32 UTF-8 BYTES of each
+    # token (hex-encoded once per token by the outer LIST_TRANSFORM),
+    # matching dedup._token_hashes on non-ASCII corpora; the guarded
+    # byte expr yields 0 past the end = the engine's zero padding
     tok_terms = " + ".join(
-        f"CAST(ascii(t[{j + 1}:{j + 1}]) AS HUGEINT) * {w[j]}"
+        f"CAST({_sql_byte('h', str(j + 1), guard=True)} AS HUGEINT) * {w[j]}"
         for j in range(_TOKEN_MAX_BYTES)
     )
     bit_exprs = ",\n         ".join(
@@ -744,7 +769,8 @@ WITH toks AS (
   FROM documents
 ), th AS (
   SELECT doc_id,
-         LIST_TRANSFORM(tk, t -> ({tok_terms}) % 18446744073709551616) AS hs
+         LIST_TRANSFORM(LIST_TRANSFORM(tk, t -> hex(encode(t))),
+                        h -> ({tok_terms}) % 18446744073709551616) AS hs
   FROM toks
 ), bm AS (
   SELECT doc_id,

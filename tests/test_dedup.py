@@ -427,23 +427,61 @@ def test_ngram_vectorized_verify_matches_bruteforce(spark):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
-def test_corpus_is_ascii():
-    """The minhash/simhash/LSH SQL oracles hash per-character via
-    ascii(); they equal the engine's UTF-8-byte hashing only on pure
-    ASCII text.  Enforce the invariant on every fixture scale present
-    (see plans/queries._sql_dedup_minhash)."""
-    import glob
-    import os
+def test_minhash_simhash_byte_oracle_non_ascii(spark):
+    """The SQL oracles hash UTF-8 BYTES via hex(encode(...)) nibble
+    arithmetic (plans/queries._sql_byte), so they must equal the engine
+    on MULTIBYTE text too — 2/3/4-byte UTF-8 sequences, byte-truncation
+    of tokens mid-character, and sub-5-byte docs.  This replaced the
+    round-1..3 test_corpus_is_ascii invariant: the oracle no longer
+    needs an ASCII corpus.  (Remaining documented boundary: NON-ASCII
+    WHITESPACE tokenizes differently in python split() vs SQL '\\s+';
+    the fixture uses ASCII spaces only.)"""
+    from batch3dfier_spark.operators.dedup import (
+        minhash_near_dups,
+        simhash_near_dups,
+    )
+    from batch3dfier_spark.plans.queries import (
+        _sql_dedup_minhash,
+        _sql_dedup_simhash,
+    )
 
-    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
-        p = os.path.join(sf_dir, "documents.parquet")
-        if not os.path.exists(p):
-            continue
-        bad = duckdb.sql(
-            f"SELECT count(*) FROM read_parquet('{p}') "
-            "WHERE text != encode(text)::VARCHAR OR octet_length(encode(text)) != length(text)"
-        ).fetchone()[0]
-        assert bad == 0, f"non-ASCII text in {p}"
+    base = (
+        "héllo wörld il naïf lāzy dòg 北京 日本語のテキスト emoji 🎉🎊 "
+        "verylongtokenthatgetstruncatedатридцатьдвабайта exactly"
+    )
+    texts = []
+    for i in range(30):
+        # near-dup family: distinct small suffix edits on the multibyte
+        # base -> ~C(30,2) high-jaccard pairs through the LSH funnel
+        texts.append(base + f" v{i}")
+    texts += [base, base, "ñ", "日本", "", "   ", "ascii only control row"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    df = spark.createDataFrame(pdf)
+
+    got_mh = (
+        minhash_near_dups(df, threshold=0.5)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    exp_mh = (
+        con.sql(_sql_dedup_minhash()).df()
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(exp_mh) > 10  # the multibyte family really collides
+    pd.testing.assert_frame_equal(got_mh, exp_mh, check_dtype=False)
+
+    got_sh = (
+        simhash_near_dups(df, max_hamming=8)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    exp_sh = (
+        con.sql(_sql_dedup_simhash()).df()
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(exp_sh) > 10
+    pd.testing.assert_frame_equal(got_sh, exp_sh, check_dtype=False)
 
 
 def _union_find(pairs):
@@ -525,3 +563,28 @@ def test_dedup_clusters_matches_duckdb(spark, docs_df):
     pd.testing.assert_frame_equal(
         got[["id", "component"]], exp[["id", "component"]], check_dtype=False
     )
+
+
+def test_clusters_converge_within_oracle_unroll(spark):
+    """The dedup_clusters SQL oracle unrolls exactly 8 pointer-jumped
+    rounds (plans/queries._sql_dedup_clusters) while the engine iterates
+    to convergence — they agree only if the engine's fixpoint is
+    reachable within 8 rounds.  Guard that window on the DRIVER'S
+    correctness corpus (sf0.01): capping the engine at max_iter=8 must
+    already yield the fixpoint.  A future fixture whose pair graph needs
+    more rounds fails HERE loudly instead of silently hash-diverging in
+    CORRECTNESS_r{N}.json."""
+    from batch3dfier_spark.operators.dedup import (
+        connected_components,
+        simhash_near_dups,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # score the simhash funnel once; both runs reuse the materialized pairs
+    pairs = simhash_near_dups(docs, max_hamming=8).localCheckpoint(eager=True)
+    capped = connected_components(pairs, max_iter=8).toPandas()
+    free = connected_components(pairs, max_iter=25).toPandas()
+    assert len(capped) > 0
+    m = capped.merge(free, on="id", suffixes=("_8", "_conv"))
+    assert len(m) == len(capped) == len(free)
+    assert (m["component_8"] == m["component_conv"]).all()
