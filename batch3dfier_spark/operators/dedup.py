@@ -793,10 +793,21 @@ def ngram_jaccard_pairs(
 QUANT = 1048576.0  # 2^20
 
 
+def _quantize(M: np.ndarray) -> np.ndarray:
+    """round(x * 2^20) with HALF-AWAY-FROM-ZERO ties — the rule Spark
+    F.round and DuckDB ROUND share (np.round would banker's-round).
+    Kernel-side so no F.transform lambda reaches the plan: JVM
+    higher-order-function lambdas defeat the codegen cache and cost
+    seconds of janino compile per fresh plan (round-3 discovery)."""
+    V = M * QUANT
+    return np.sign(V) * np.floor(np.abs(V) + 0.5)
+
+
 def _unpack_block(vecs) -> tuple[np.ndarray, np.ndarray]:
-    """list<struct{_id,_q}> Arrow column element -> (ids, matrix)."""
+    """list<struct{_id,_q}> Arrow column element -> (ids, matrix),
+    quantizing the raw doubles on the way out."""
     ids = np.fromiter((e["_id"] for e in vecs), dtype=np.int64, count=len(vecs))
-    M = np.stack([np.asarray(e["_q"], dtype=np.float64) for e in vecs])
+    M = _quantize(np.stack([np.asarray(e["_q"], dtype=np.float64) for e in vecs]))
     return ids, M
 
 
@@ -828,12 +839,11 @@ def embedding_near_dups(
     `similarity.hyperplane_signatures`) and only those pairs are
     rescored — the cheap-filter/expensive-verify funnel.
     """
+    # raw doubles here; quantization happens inside the Arrow kernels
+    # (_quantize) so the plan carries no F.transform lambda
     q = embeddings.select(
         F.col(id_col).alias("_id"),
-        F.transform(
-            F.col(vec_col).cast("array<double>"),
-            lambda x: F.round(x * F.lit(QUANT)).cast("double"),
-        ).alias("_q"),
+        F.col(vec_col).cast("array<double>").alias("_q"),
     )
 
     if candidates is not None:
@@ -847,8 +857,10 @@ def embedding_near_dups(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_qa"]])
-                B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_qb"]])
+                A = _quantize(np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_qa"]]))
+                B = _quantize(np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_qb"]]))
                 dots = np.einsum("ij,ij->i", A, B)
                 cos = dots / (
                     np.sqrt(np.einsum("ij,ij->i", A, A))
