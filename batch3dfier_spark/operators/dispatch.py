@@ -54,9 +54,15 @@ def run_tiles(
     decomposable: bool = False,
     salt_key_col: str = "url",
     salt_target_rows: int = 250_000,
-) -> pd.DataFrame:
+    collect_lineage: bool = True,
+) -> pd.DataFrame | int:
     """Run `process` once per tile group; write per-tile parquet into
-    `table`; commit atomically; return the lineage frame for this run.
+    `table`; commit atomically; return the table's lineage frame
+    (collect_lineage=True, the reporting default) or just the new
+    snapshot id (collect_lineage=False — at 1e8-tile scale even the
+    convenience pandas return is a driver materialization; query
+    `table.lineage(min_tile=..., max_tile=...)` pruned or
+    `table.completed_tiles_df(spark)` distributed instead).
 
     - resume=True drops tiles already committed (anti-join vs lineage).
     - skip_tiles are recorded with status='skipped' without processing
@@ -240,7 +246,9 @@ def run_tiles(
     # then a footer-stats-only commit
     staging = table.stage_dir()
     lin.write.parquet(staging)
-    table.commit_staged(staging)
+    sid = table.commit_staged(staging)
+    if not collect_lineage:
+        return sid
     return table.lineage()
 
 

@@ -53,6 +53,13 @@ def test_full_run_and_lineage(assigned, tmp_path):
     rep = skip_report(lineage)
     assert rep == {"tiles_total": 16, "tiles_ok": 16, "tiles_skipped": 0}
 
+    # collect_lineage=False: nothing pandas crosses the driver on the
+    # way out either — the return is just the committed snapshot id
+    t2 = IcebergishTable(str(tmp_path / "t1b"))
+    sid = run_tiles(assigned, tile_processor, t2, collect_lineage=False)
+    assert isinstance(sid, int)
+    assert t2.read(spark).count() == n
+
 
 def test_skip_bookkeeping(assigned, tmp_path):
     table = IcebergishTable(str(tmp_path / "t2"))
