@@ -484,6 +484,38 @@ def test_minhash_simhash_byte_oracle_non_ascii(spark):
     pd.testing.assert_frame_equal(got_sh, exp_sh, check_dtype=False)
 
 
+def test_ngram_oracle_non_ascii(spark):
+    """The ngram oracle compares gram STRINGS while the engine compares
+    stable gram hashes — identical jaccards on multibyte text too
+    (tokenization boundary: ASCII whitespace, like the other text
+    funnels)."""
+    from batch3dfier_spark.operators.dedup import ngram_jaccard_pairs
+    from batch3dfier_spark.plans.queries import SQL_DEDUP_NGRAM
+
+    base = "переработка данных 大规模 språk 处理 þjálfun données chuẩn hóa"
+    texts = [base + f" v{i}" for i in range(12)] + ["短", "与 这 无 关 的 行"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["xx"] * len(texts),
+            "n_chars": [40] * len(texts),  # one block
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = (
+        ngram_jaccard_pairs(spark.createDataFrame(pdf), n=3, threshold=0.5)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    exp = (
+        con.sql(SQL_DEDUP_NGRAM).df()
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(exp) > 10
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def _union_find(pairs):
     parent = {}
 
