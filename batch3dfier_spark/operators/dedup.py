@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "exact_dedup",
     "exact_dup_pairs",
+    "line_dedup",
     "minhash_signatures",
     "lsh_candidates",
     "verified_near_dups",
@@ -137,6 +138,70 @@ def exact_dup_pairs(
         .withColumn("_keeper", F.min(id_col).over(w))
         .where(F.col(id_col) != F.col("_keeper"))
         .select(F.col("_keeper").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 10,
+) -> DataFrame:
+    """CORPUS-level exact line dedup (the C4 / RefinedWeb rule): every
+    line of >= min_chars characters may appear ONCE across the whole
+    corpus — the occurrence with the lowest (doc_id, line_no) survives,
+    all other occurrences are deleted from their documents; shorter
+    lines (blanks, separators, headings) always stay.  Returns
+    (id_col, text_col) with every input document reassembled from its
+    surviving lines in order (possibly '' if all lines were dropped).
+
+    Scale shape — two shuffles, all JVM, no Python, no HOF lambdas:
+    1. a row_number window partitioned BY THE LINE STRING itself over
+       only the >= min_chars lines (partitioning on the value means the
+       engine and the SQL twin need no shared hash function; the
+       <min_chars stream — which contains the corpus's giant ''/'---'
+       groups — never enters the window, so the one skew risk is gone);
+    2. the groupBy(id) reassembly: sort_array over (line_no, line)
+       structs + concat_ws, array field extraction instead of a
+       transform lambda.
+    At 100 TB this is the same two-pass shape C4 runs: the line table
+    is ~rows x avg_lines but each window partition is one line's
+    duplicate set, and AQE splits any residual hot line."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("line_no", "line"),
+    )
+    long = lines.where(F.length("line") >= min_chars)
+    short = lines.where(F.length("line") < min_chars)
+    w = Window.partitionBy("line").orderBy(id_col, "line_no")
+    kept = (
+        long.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .unionByName(short)
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("line_no", "line"))).alias("_ls")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws("\n", F.col("_ls")["line"]).alias(text_col),
+        )
+    )
+    # every input doc appears in the output, even if fully deleted
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
     )
 
 

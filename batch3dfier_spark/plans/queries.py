@@ -404,6 +404,45 @@ FROM (SELECT doc_id, sha256(text) AS text_sha FROM documents)
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-level exact line dedup (the C4 / RefinedWeb rule): a line
+    of >= 10 chars may appear once across the corpus; lowest
+    (doc_id, line_no) occurrence survives, documents are reassembled
+    from their surviving lines (operators/dedup.line_dedup — two
+    shuffles, pure JVM).  On the single-line fixture corpus this
+    degenerates to whole-document corpus dedup (non-keeper exact dups
+    come back empty), which still exercises the full
+    split/window/reassemble machinery; the multi-line shape is pinned
+    in tests/test_dedup.py."""
+    from ..operators.dedup import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir))
+
+
+SQL_LINE_DEDUP = """
+WITH l AS (
+  SELECT doc_id, UNNEST([{'line_no': i, 'line': arr[i]}
+                         FOR i IN RANGE(1, LEN(arr) + 1)],
+                        recursive := true)
+  FROM (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS arr
+        FROM documents)
+), kept AS (
+  SELECT doc_id, line_no, line FROM l WHERE LENGTH(line) < 10
+  UNION ALL
+  SELECT doc_id, line_no, line FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY line
+                                 ORDER BY doc_id, line_no) AS rn
+    FROM l WHERE LENGTH(line) >= 10
+  ) WHERE rn = 1
+), reb AS (
+  SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY line_no) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(reb.text, '') AS text
+FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id
+"""
+
+
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality scoring, language-ID, fingerprinting —
     all JVM expressions (operators/textstats.py)."""
@@ -1667,6 +1706,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "percentile_heights": (q_percentile_heights, SQL_PERCENTILE_HEIGHTS),
     "heights_join": (q_heights_join, SQL_HEIGHTS_JOIN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_minhash": (q_dedup_minhash, None),  # sql built lazily below

@@ -23,6 +23,8 @@ Config shape::
       path: /path/out_parquet
     steps:
       - op: exact_dedup                  # drop byte-identical dups
+      - op: line_dedup                   # C4-style corpus-level line
+        min_chars: 10                    #   dedup (rewrites text)
       - op: quality_filter               # textstats/repetition gates
         min_tokens: 10
         max_dup_line_frac: 0.3
@@ -90,6 +92,17 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
             .select("doc_id")
         )
         return df.join(keep, "doc_id")
+    if op == "line_dedup":
+        # corpus-level C4-style line dedup: documents keep their ids
+        # but their text is rewritten to the surviving lines
+        from .operators.dedup import line_dedup
+
+        text_col = step.get("text_col", "text")
+        deduped = line_dedup(
+            df, text_col=text_col,
+            min_chars=int(step.get("min_chars", 10)),
+        )
+        return df.drop(text_col).join(deduped, "doc_id")
     if op == "quality_filter":
         from .operators.textstats import repetition_stats, token_count
 

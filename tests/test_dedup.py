@@ -484,6 +484,53 @@ def test_minhash_simhash_byte_oracle_non_ascii(spark):
     pd.testing.assert_frame_equal(got_sh, exp_sh, check_dtype=False)
 
 
+def test_line_dedup_multiline_corpus(spark):
+    """Corpus-level C4-style line dedup on a real multi-line corpus
+    (the contract fixture is single-line, so the multi-line shape is
+    pinned here): repeated >=10-char lines keep only their lowest
+    (doc_id, line_no) occurrence, short lines always survive, docs
+    reassemble in order, fully-deleted docs come back as ''."""
+    from batch3dfier_spark.operators.dedup import line_dedup
+    from batch3dfier_spark.plans.queries import SQL_LINE_DEDUP
+
+    texts = [
+        "shared boilerplate line aaaa\nunique one\nok",
+        "different start here\nshared boilerplate line aaaa\nxx",
+        "shared boilerplate line aaaa\nshared boilerplate line aaaa\ntail text here",
+        "",
+        "short\nab",
+        None,
+        "solo long line appearing once only",
+        "многострочный общий текст\nmultibyte unique line здесь",
+        "многострочный общий текст\nsecond doc keeps its own tail",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        line_dedup(spark.createDataFrame(pdf))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(got["text"]) == [
+        "shared boilerplate line aaaa\nunique one\nok",
+        "different start here\nxx",
+        "tail text here",
+        "",
+        "short\nab",
+        "",
+        "solo long line appearing once only",
+        "многострочный общий текст\nmultibyte unique line здесь",
+        "second doc keeps its own tail",
+    ]
+    # and the DuckDB twin agrees on the same corpus (None -> '' like
+    # the engine's coalesce)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.sql(SQL_LINE_DEDUP).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_ngram_oracle_non_ascii(spark):
     """The ngram oracle compares gram STRINGS while the engine compares
     stable gram hashes — identical jaccards on multibyte text too

@@ -75,6 +75,45 @@ def test_textpipe_decontaminate_step(spark, tmp_path):
     assert report["rows_out"] == 0
 
 
+def test_textpipe_line_dedup_step(spark, tmp_path):
+    """line_dedup rewrites text (C4-style corpus-level line dedup)
+    while keeping every doc row and its non-text columns."""
+    import pandas as pd
+
+    from batch3dfier_spark.textpipe import run_textpipe
+
+    src = tmp_path / "docs"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "lang": ["en", "en", "zh"],
+            "text": [
+                "shared boilerplate line aaaa\nkeep me zero",
+                "shared boilerplate line aaaa\nkeep me one",
+                "shared boilerplate line aaaa",
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(src))
+    cfg = {
+        "input": {"documents": str(src)},
+        "output": {"path": str(tmp_path / "o")},
+        "steps": [{"op": "line_dedup", "min_chars": 10}],
+    }
+    report = run_textpipe(spark, cfg)
+    assert report["rows_out"] == 3  # rows kept, text rewritten
+    out = (
+        spark.read.parquet(cfg["output"]["path"]).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["text"]) == [
+        "shared boilerplate line aaaa\nkeep me zero",
+        "keep me one",
+        "",
+    ]
+    assert list(out["lang"]) == ["en", "en", "zh"]
+
+
 def test_textpipe_yaml_cli_roundtrip(spark, cfg, tmp_path):
     """parse_textpipe_config validates and the CLI path executes it."""
     import yaml
