@@ -25,6 +25,7 @@ __all__ = [
     "token_count",
     "add_textstats",
     "repetition_stats",
+    "scrub_pii",
 ]
 
 # language marker words (tiny stopword lists; the n-gram-heuristic
@@ -289,3 +290,65 @@ def sql_fingerprint(text: str = "text") -> str:
                          w -> CAST({tok_hash} AS BIGINT))),
         (acc, h) -> ((acc * {FP_MUL} + h) % {FP_MOD} + {FP_MOD}) % {FP_MOD})
     END"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (Dolma / CCNet-style) — patterns restricted to the
+# java.util.regex ∩ RE2 common subset (no backrefs, no lookaround, ASCII
+# classes) so Spark and the DuckDB twin rewrite byte-identically
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # order matters: each pattern runs on the output of the previous one
+    # (the alpha-TLD requirement keeps emails from eating IPs; the
+    # replacement tokens contain no digits, so later patterns cannot
+    # match inside earlier rewrites)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Replace emails / IPv4s / phone-shaped digit runs with typed
+    tokens and count each category — the standard pre-training scrub
+    (Dolma's pii filter, CCNet pipelines).  Pure JVM: chained
+    regexp_replace plus a split-based match count per category (no
+    Python, no HOF lambdas).  Counts are taken on the text as each
+    pattern sees it (post-previous-rewrites), identical to the DuckDB
+    twin `sql_scrub_pii` which replays the same patterns in the same
+    order.  Word-boundary note: \\b is ASCII in RE2 and Unicode-aware
+    in Java — identical on corpora where digits neighbor only ASCII
+    word characters; the multibyte pytest pins the supported shapes."""
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        counts.append(
+            (F.size(F.split(cur, pat, -1)) - 1).alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, tok)
+    return df.select(
+        F.col(id_col), cur.alias(text_col), *counts
+    )
+
+
+def sql_scrub_pii(text: str = "text") -> str:
+    """DuckDB twin of scrub_pii: same patterns, same order, counts via
+    regexp_extract_all on the same intermediate rewrites."""
+    cur = f"COALESCE({text}, '')"
+    count_cols = []
+    for name, pat, tok in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        count_cols.append(
+            f"LEN(REGEXP_EXTRACT_ALL({cur}, '{p}')) AS n_{name}"
+        )
+        cur = f"REGEXP_REPLACE({cur}, '{p}', '{tok}', 'g')"
+    return (
+        f"SELECT doc_id, {cur} AS {text}, "
+        + ", ".join(count_cols)
+        + " FROM documents"
+    )

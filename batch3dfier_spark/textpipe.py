@@ -25,6 +25,8 @@ Config shape::
       - op: exact_dedup                  # drop byte-identical dups
       - op: line_dedup                   # C4-style corpus-level line
         min_chars: 10                    #   dedup (rewrites text)
+      - op: scrub_pii                    # emails/IPs/phones -> tokens
+                                         #   (+ n_email/n_ip/n_phone)
       - op: quality_filter               # textstats/repetition gates
         min_tokens: 10
         max_dup_line_frac: 0.3
@@ -92,6 +94,14 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
             .select("doc_id")
         )
         return df.join(keep, "doc_id")
+    if op == "scrub_pii":
+        # rewrite text with typed tokens; keep per-category counts as
+        # extra columns (n_email / n_ip / n_phone)
+        from .operators.textstats import scrub_pii
+
+        text_col = step.get("text_col", "text")
+        scrubbed = scrub_pii(df, text_col=text_col)
+        return df.drop(text_col).join(scrubbed, "doc_id")
     if op == "line_dedup":
         # corpus-level C4-style line dedup: documents keep their ids
         # but their text is rewritten to the surviving lines

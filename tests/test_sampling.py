@@ -151,3 +151,43 @@ def test_weighted_mixture_matches_duckdb(spark):
     # every zh doc appears at least floor(2.5)=2 times, tagged 1..n
     zh = got[got["lang"] == "zh"].groupby("doc_id")["copy_id"].agg(["count", "max"])
     assert (zh["count"] >= 2).all() and (zh["count"] == zh["max"]).all()
+
+
+def test_scrub_pii_matches_duckdb(spark):
+    """scrub_pii (chained JVM regexp_replace + split-based counts) ==
+    the DuckDB twin replaying the same patterns in the same order —
+    byte-identical rewrites and counts on emails, IPv4s, phone-shaped
+    runs, adjacent/boundary cases, multibyte neighbors, and clean text
+    (negative control)."""
+    import duckdb
+    import pandas as pd
+
+    from batch3dfier_spark.operators.textstats import scrub_pii, sql_scrub_pii
+
+    texts = [
+        "contact bob.smith+spam@example.co.uk or sue@test.org today",
+        "server at 192.168.1.1 and 10.0.0.255, call +31 (0)20-555 1234",
+        "no pii here at all, just words",
+        "edge 1.2.3.4",
+        "a@b.io x 999.999.999.999 y 0123456789",
+        "unicode soup: héllo 8.8.8.8 日本 mail@дом.example.com tail",
+        "",
+        None,
+        "double a@b.cc c@d.ee emails and 1.1.1.1 2.2.2.2 ips",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        scrub_pii(spark.createDataFrame(pdf))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.sql(sql_scrub_pii()).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert int(got["n_email"].sum()) >= 4
+    assert int(got["n_ip"].sum()) >= 5
+    assert int(got["n_phone"].sum()) >= 2
+    assert "<EMAIL>" in got["text"][0] and "<PHONE>" in got["text"][1]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -291,3 +291,35 @@ def test_textpipe_minhash_near_dedup_drops_exact_dups(spark, tmp_path):
     # keepers: 0 (for 0,1,2), 3 (for 3,4), and the three unique docs
     assert kept == [0, 3, 5, 6, 7]
     assert report["rows_out"] == 5
+
+
+def test_textpipe_scrub_pii_step(spark, tmp_path):
+    """scrub_pii rewrites text and appends n_email/n_ip/n_phone while
+    keeping every row and the other columns."""
+    import pandas as pd
+
+    from batch3dfier_spark.textpipe import run_textpipe
+
+    src = tmp_path / "docs"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "lang": ["en", "en"],
+            "text": ["mail me: a@b.io", "clean text only"],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(src))
+    cfg = {
+        "input": {"documents": str(src)},
+        "output": {"path": str(tmp_path / "o")},
+        "steps": [{"op": "scrub_pii"}],
+    }
+    report = run_textpipe(spark, cfg)
+    assert report["rows_out"] == 2
+    out = (
+        spark.read.parquet(cfg["output"]["path"]).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["text"]) == ["mail me: <EMAIL>", "clean text only"]
+    assert list(out["n_email"]) == [1, 0]
+    assert list(out["lang"]) == ["en", "en"]
