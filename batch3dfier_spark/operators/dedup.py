@@ -155,20 +155,24 @@ def line_dedup(
     (id_col, text_col) with every input document reassembled from its
     surviving lines in order (possibly '' if all lines were dropped).
 
-    Scale shape — two shuffles, all JVM, no Python, no HOF lambdas:
-    1. a row_number window partitioned BY THE LINE STRING itself over
-       only the >= min_chars lines (partitioning on the value means the
-       engine and the SQL twin need no shared hash function; the
-       <min_chars stream — which contains the corpus's giant ''/'---'
-       groups — never enters the window, so the one skew risk is gone);
+    Scale shape — two shuffles, all JVM, no Python, no HOF lambdas,
+    and crucially NO window over the line string:
+    1. survivor selection is `groupBy(line).agg(min(struct(id,
+       line_no)))` — the lexicographic-min struct IS the first
+       occurrence by (doc_id, line_no), and hash aggregation does
+       PARTIAL map-side combine, so a boilerplate line repeated 1e9
+       times ("All rights reserved...") collapses to one row per input
+       partition before the shuffle.  A row_number window partitioned
+       by the line value (the naive shape) would instead ship every
+       occurrence of the hot line to ONE task — AQE's skew splitting
+       covers joins and aggregates, never window partitions — and
+       straggle/OOM at 100 TB.  The <min_chars stream (the corpus's
+       giant ''/'---' groups) never enters the aggregate either;
     2. the groupBy(id) reassembly: sort_array over (line_no, line)
        structs + concat_ws, array field extraction instead of a
        transform lambda.
-    At 100 TB this is the same two-pass shape C4 runs: the line table
-    is ~rows x avg_lines but each window partition is one line's
-    duplicate set, and AQE splits any residual hot line."""
-    from pyspark.sql import Window
-
+    At 100 TB this is the same two-pass shape C4 runs, with the hot
+    boilerplate lines absorbed map-side by partial aggregation."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(
@@ -177,11 +181,15 @@ def line_dedup(
     )
     long = lines.where(F.length("line") >= min_chars)
     short = lines.where(F.length("line") < min_chars)
-    w = Window.partitionBy("line").orderBy(id_col, "line_no")
+    survivors = long.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("_s")
+    )
     kept = (
-        long.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        survivors.select(
+            F.col("_s")[id_col].alias(id_col),
+            F.col("_s")["line_no"].alias("line_no"),
+            F.col("line"),
+        )
         .unionByName(short)
     )
     rebuilt = (

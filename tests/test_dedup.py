@@ -531,6 +531,39 @@ def test_line_dedup_multiline_corpus(spark):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_line_dedup_hot_line_no_window(spark):
+    """Skew guard (round-4 verdict #1): one boilerplate line duplicated
+    1e5 times must NOT become a single window partition.  Asserts (a)
+    the executed plan contains no Window operator at all (survivor
+    selection is a partial-aggregating groupBy-min, which map-side
+    combines hot lines before the shuffle), and (b) the hot-line corpus
+    produces the right answer: exactly one survivor occurrence, every
+    other doc keeps only its unique tail."""
+    from pyspark.sql import functions as F
+
+    from batch3dfier_spark.operators.dedup import line_dedup
+
+    n = 100_000
+    hot = "this exact boilerplate line repeats one hundred thousand times"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(hot + "\n"), F.lit("unique tail "), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    out = line_dedup(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    rows = out.where(F.col("text").contains(hot)).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 0
+    assert (
+        out.where(F.col("text") == F.concat(F.lit("unique tail "),
+                                            F.col("doc_id").cast("string")))
+        .count()
+        == n - 1
+    )
+
+
 def test_ngram_oracle_non_ascii(spark):
     """The ngram oracle compares gram STRINGS while the engine compares
     stable gram hashes — identical jaccards on multibyte text too
