@@ -1,19 +1,31 @@
 """Text analysis for the training-data pipeline: language-ID, quality
 scoring, token counting, document fingerprinting.
 
-Execution shape (revised in round 4): the scalar helpers that stay hot
-in JVM whole-stage codegen (token_count — plain split/size/when, no
-lambdas) remain Column expressions; everything that previously needed
-JVM higher-order-function LAMBDAS (F.filter/transform/aggregate for
-stopword counts, language hits, and the rolling fingerprint) now runs
-in ONE Arrow-batched kernel.  Round-3 discovery: HOF lambdas defeat
-Spark's codegen cache — EVERY fresh plan containing them pays seconds
-of janino compilation (that one-time cost dominated dedup_ngram at
-4.6 s wall for 0.5 s of work), which is a landmine for a fleet
-submitting fresh plans.  The kernel outputs are exact integers or
-exact-integer ratios, so the DuckDB SQL twins reproduce them
-bit-for-bit; ratio rounding is half-away-from-zero (floor(|x|*1e6+.5)),
-the same rule C/DuckDB ROUND applies to doubles.
+Execution shape (revised in round 5): EVERY stat is an ordinary JVM
+Column expression — no HOF lambdas (round-3 discovery: they defeat
+Spark's codegen cache, so every fresh plan pays seconds of janino
+compilation) and no Arrow hop either (the round-4 kernel traded the
+compile landmine for a python-worker hop; this version eliminates
+both).  The tricks that make that possible:
+
+- character-class counts are length diffs over `translate` (cheaper
+  than regex and codegen-friendly);
+- whole-token membership counts (stopwords, per-language marker hits)
+  use the DOUBLE-SPACE PAD: normalize every whitespace run to two
+  spaces, pad with one space each side, then `regexp_count(pad,
+  ' (w1|w2|...) ')` — each token owns a private leading and trailing
+  space, so adjacent marker tokens cannot steal each other's
+  delimiter and the count equals exact set-membership over the
+  split tokens;
+- ratios are `FLOOR(num/den * 1e6 + 0.5)/1e6` — one IEEE division of
+  exact integers, then explicit half-away rounding, the identical
+  bit-for-bit arithmetic in Spark, DuckDB, and C;
+- the fingerprint is sha256 of the whitespace-normalized document,
+  reduced mod 2^31 (v2 semantics; the v1 per-token rolling fold is
+  NOT map-only-expressible in JVM SQL without lambdas or an
+  explode+shuffle, and whole-document sha256 is a strictly stronger
+  fingerprint; the rolling-hash construction itself lives on in
+  dedup's shingle hashes).
 """
 
 from __future__ import annotations
@@ -64,148 +76,105 @@ def token_count(text: Column) -> Column:
     )
 
 
-def _py_tokens(text: str) -> list[str]:
-    """The SQL twin's tokenization, in python: TRIM strips SPACES (like
-    DuckDB TRIM), then split on the ASCII whitespace class."""
-    import re
+def _ratio6(num: Column, den: Column) -> Column:
+    """FLOOR(num/den * 1e6 + 0.5)/1e6 — half-away rounding written as
+    explicit IEEE ops so Spark, DuckDB, and any C runtime produce the
+    identical double (engine-native ROUND(x, 6) implementations differ
+    on boundary values; this form cannot)."""
+    return F.when(
+        den > 0,
+        F.floor(num.cast("double") / den.cast("double") * F.lit(1e6)
+                + F.lit(0.5)) / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
 
-    t = text.strip(" ")
-    if not t:
-        return []
-    return re.split(_WS_RE, t)
+
+def _marker_hits(pad: Column, words: list[str]) -> Column:
+    """Exact whole-token membership count via the double-space pad
+    (see module docstring): each split token owns a private leading
+    AND trailing space in `pad`, so non-overlapping ' (w1|w2|..) '
+    matches count exactly the tokens equal to a marker word."""
+    return F.regexp_count(
+        pad, F.lit(" (" + "|".join(words) + ") ")
+    ).cast("long")
 
 
-def _round6(x: float) -> float:
-    """round(x, 6) half-away-from-zero on the binary double — the rule
-    DuckDB ROUND applies; inputs here are quotients of exact ints."""
-    import math
-
-    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+_ALPHA = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_WS_CHARS = " \t\n\x0b\f\r"
 
 
 def add_textstats(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """Attach the full textstats column family in ONE Arrow kernel:
-    n_chars, n_tokens, punct/alpha/stopword ratios, avg token length,
-    per-language marker hits + arg-max prediction (tie-break: language
-    name ascending), and the order-sensitive rolling fingerprint
-    fold((acc*31 + int(sha256(tok)[:15hex])) mod 2^31).
+    """Attach the full textstats column family as pure JVM expressions
+    (zero lambdas, zero Python — everything stays inside whole-stage
+    codegen): n_chars, n_tokens, punct/alpha/stopword ratios, avg token
+    length, per-language marker hits + arg-max prediction (tie-break:
+    language name ascending), and the document fingerprint
+    (sha256 of the whitespace-normalized text, mod 2^31; 0 for blank).
 
-    Cross-engine exactness: every count is an integer, every ratio one
-    IEEE division of exact integers rounded half-away at 1e-6, and the
-    fingerprint is pure int arithmetic — so the DuckDB twin
+    Cross-engine exactness: every count is an integer, every ratio the
+    explicit FLOOR(x*1e6+0.5)/1e6 form (see _ratio6), and sha256 hex
+    is identical in Spark and DuckDB — so the twin
     (plans/queries._sql_textstats) reproduces all values bit-for-bit.
-    Per-token sha256 is memoized per batch (web text repeats words
-    heavily, so unique-token hashing is a small fraction of token
-    count)."""
-    import hashlib
-    from typing import Iterator
-
-    import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
+    Reference parity: the reference has no text stack; this is the
+    training-data surface mandated by the build brief."""
+    s = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.trim(s)
+    # double-space pad over the lowercased text: every token gets a
+    # private leading and trailing space (blank text -> '  ', no hits)
+    pad = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(trimmed), _WS_RE, "  "),
+        F.lit(" "),
     )
-
-    langs_sorted = sorted(LANG_MARKERS)  # argmax scan order (de,en,fr,nl)
-    marker_sets = {lg: set(ws) for lg, ws in LANG_MARKERS.items()}
-    stop_set = set(STOPWORDS)
-
-    new_fields = [
-        StructField("n_chars", LongType()),
-        StructField("n_tokens", LongType()),
-        StructField("punct_ratio", DoubleType()),
-        StructField("alpha_ratio", DoubleType()),
-        StructField("stopword_ratio", DoubleType()),
-        StructField("avg_token_len", DoubleType()),
-        StructField("hits_en", LongType()),
-        StructField("hits_nl", LongType()),
-        StructField("hits_de", LongType()),
-        StructField("hits_fr", LongType()),
-        StructField("lang_pred", StringType()),
-        StructField("fingerprint", LongType()),
-    ]
+    n_chars = F.length(s).cast("long")
+    n_tokens = token_count(s).cast("long")
+    n_punct = F.length(s) - F.length(F.translate(s, "".join(_PUNCT), ""))
+    n_alpha = F.length(s) - F.length(F.translate(s, _ALPHA, ""))
+    n_nonws = F.length(F.translate(s, _WS_CHARS, ""))
+    n_stop = _marker_hits(pad, STOPWORDS)
+    hits = {lg: _marker_hits(pad, ws) for lg, ws in LANG_MARKERS.items()}
+    # argmax over languages, name-ascending scan, strictly-greater
+    # replaces — identical to the SQL twin's CASE chain
+    lang_pred = (
+        F.when(hits["nl"] > F.greatest(hits["de"], hits["en"], hits["fr"]),
+               F.lit("nl"))
+        .when(hits["fr"] > F.greatest(hits["de"], hits["en"]), F.lit("fr"))
+        .when(hits["en"] > hits["de"], F.lit("en"))
+        .otherwise(F.lit("de"))
+    )
+    norm = F.regexp_replace(trimmed, _WS_RE, " ")
+    fingerprint = F.when(
+        F.length(trimmed) == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.conv(F.substring(F.sha2(norm, 256), 1, 15), 16, 10).cast("long")
+        % F.lit(FP_MOD)
+    )
+    new_cols: dict[str, Column] = {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": _ratio6(n_punct, F.length(s)),
+        "alpha_ratio": _ratio6(n_alpha, F.length(s)),
+        "stopword_ratio": _ratio6(n_stop, n_tokens),
+        "avg_token_len": _ratio6(n_nonws, n_tokens),
+        "hits_en": hits["en"],
+        "hits_nl": hits["nl"],
+        "hits_de": hits["de"],
+        "hits_fr": hits["fr"],
+        "lang_pred": lang_pred,
+        "fingerprint": fingerprint,
+    }
     # withColumns semantics: a stat column REPLACES an input column of
     # the same name in place (e.g. the documents table's own n_chars);
     # genuinely new columns append in order
-    by_name = {f.name: f for f in new_fields}
-    fields = [by_name.pop(f.name, f) for f in df.schema.fields]
-    out_schema = StructType(
-        fields + [f for f in new_fields if f.name in by_name]
+    keep = [
+        new_cols.pop(f.name).alias(f.name) if f.name in new_cols
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(
+        *keep, *(c.alias(n) for n, c in new_cols.items())
     )
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sha_memo: dict[str, int] = {}
-
-        def tok_hash(w: str) -> int:
-            h = sha_memo.get(w)
-            if h is None:
-                h = int(hashlib.sha256(w.encode("utf-8")).hexdigest()[:15], 16)
-                sha_memo[w] = h
-            return h
-
-        for pdf in batches:
-            cols: dict[str, list] = {
-                k: [] for k in (
-                    "n_chars", "n_tokens", "punct_ratio", "alpha_ratio",
-                    "stopword_ratio", "avg_token_len", "hits_en", "hits_nl",
-                    "hits_de", "hits_fr", "lang_pred", "fingerprint",
-                )
-            }
-            for txt in pdf[text_col]:
-                txt = txt if isinstance(txt, str) else ""
-                toks = _py_tokens(txt)
-                low = [t.lower() for t in toks]
-                n_chars = len(txt)
-                n_tokens = len(toks)
-                n_punct = sum(c in _PUNCT for c in txt)
-                n_alpha = sum(
-                    ("a" <= c <= "z") or ("A" <= c <= "Z") for c in txt
-                )
-                n_stop = sum(t in stop_set for t in low)
-                n_nonws = sum(
-                    c not in " \t\n\x0b\f\r" for c in txt
-                )
-                hits = {
-                    lg: sum(t in marker_sets[lg] for t in low)
-                    for lg in LANG_MARKERS
-                }
-                # argmax, name-ascending scan, strictly-greater replaces
-                pred, best = langs_sorted[0], hits[langs_sorted[0]]
-                for lg in langs_sorted[1:]:
-                    if hits[lg] > best:
-                        pred, best = lg, hits[lg]
-                fp = 0
-                for t in toks:
-                    fp = (fp * FP_MUL + tok_hash(t)) % FP_MOD
-                cols["n_chars"].append(n_chars)
-                cols["n_tokens"].append(n_tokens)
-                cols["punct_ratio"].append(
-                    _round6(n_punct / n_chars) if n_chars else 0.0
-                )
-                cols["alpha_ratio"].append(
-                    _round6(n_alpha / n_chars) if n_chars else 0.0
-                )
-                cols["stopword_ratio"].append(
-                    _round6(n_stop / n_tokens) if n_tokens else 0.0
-                )
-                cols["avg_token_len"].append(
-                    _round6(n_nonws / n_tokens) if n_tokens else 0.0
-                )
-                for lg in LANG_MARKERS:
-                    cols[f"hits_{lg}"].append(hits[lg])
-                cols["lang_pred"].append(pred)
-                cols["fingerprint"].append(fp)
-            out = pdf.copy()
-            for k, v in cols.items():
-                out[k] = v
-            yield out
-
-    return df.mapInPandas(stats, schema=out_schema)
 
 
 def repetition_stats(
@@ -281,31 +250,56 @@ def sql_token_count(text: str = "text") -> str:
 
 
 def sql_fingerprint(text: str = "text") -> str:
-    tok_hash = "CAST(CONCAT('0x', SUBSTR(SHA256(w), 1, 15)) AS UBIGINT)"
-    return f"""
-    CASE WHEN LENGTH(TRIM({text})) = 0 THEN 0 ELSE
-      LIST_REDUCE(
-        LIST_PREPEND(CAST(0 AS BIGINT),
-          LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM({text}), '\\s+'),
-                         w -> CAST({tok_hash} AS BIGINT))),
-        (acc, h) -> ((acc * {FP_MUL} + h) % {FP_MOD} + {FP_MOD}) % {FP_MOD})
-    END"""
+    """DuckDB twin of the v2 fingerprint: sha256 hex of the
+    whitespace-normalized document, first 15 hex digits (60 bits)
+    reduced mod 2^31 — identical hex and integer arithmetic in both
+    engines, 0 for blank text."""
+    norm = f"REGEXP_REPLACE(TRIM({text}), '\\s+', ' ', 'g')"
+    return (
+        f"CASE WHEN LENGTH(TRIM({text})) = 0 THEN 0 ELSE "
+        f"CAST(CAST(CONCAT('0x', SUBSTR(SHA256({norm}), 1, 15)) AS UBIGINT)"
+        f" % {FP_MOD} AS BIGINT) END"
+    )
 
 
 # ---------------------------------------------------------------------------
-# PII scrubbing (Dolma / CCNet-style) — patterns restricted to the
-# java.util.regex ∩ RE2 common subset (no backrefs, no lookaround, ASCII
-# classes) so Spark and the DuckDB twin rewrite byte-identically
+# PII scrubbing (Dolma / CCNet-style).  Each entry carries a Java
+# (Spark) pattern and an RE2 (DuckDB) pattern with IDENTICAL semantics:
+# word boundaries are written as explicit ASCII constructs — Java gets
+# zero-width lookarounds (?<![0-9A-Za-z_]) / (?![0-9A-Za-z_]), RE2 gets
+# its native \b, which is DEFINED over exactly that ASCII word class.
+# A bare \b on the Java side would be Unicode-aware (CJK chars count as
+# word chars), silently skipping e.g. an IP glued to a CJK character
+# that the oracle scrubs — the round-4 divergence surface.
 # ---------------------------------------------------------------------------
 
-PII_PATTERNS: list[tuple[str, str, str]] = [
-    # order matters: each pattern runs on the output of the previous one
-    # (the alpha-TLD requirement keeps emails from eating IPs; the
-    # replacement tokens contain no digits, so later patterns cannot
-    # match inside earlier rewrites)
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
-    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+_AG_L = r"(?<![0-9A-Za-z_])"  # Java ASCII-guard, left  (== RE2 \b here)
+_AG_R = r"(?![0-9A-Za-z_])"   # Java ASCII-guard, right (== RE2 \b here)
+
+PII_PATTERNS: list[tuple[str, str, str, str]] = [
+    # (name, java_pattern, re2_pattern, token); order matters: each
+    # pattern runs on the output of the previous one (the alpha-TLD
+    # requirement keeps emails from eating IPs; the replacement tokens
+    # contain no digits, so later patterns cannot match inside earlier
+    # rewrites)
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ip",
+        _AG_L + r"([0-9]{1,3}\.){3}[0-9]{1,3}" + _AG_R,
+        r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+        "<IP>",
+    ),
+    (
+        "phone",
+        r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+        r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+        "<PHONE>",
+    ),
 ]
 
 
@@ -321,16 +315,16 @@ def scrub_pii(
     Python, no HOF lambdas).  Counts are taken on the text as each
     pattern sees it (post-previous-rewrites), identical to the DuckDB
     twin `sql_scrub_pii` which replays the same patterns in the same
-    order.  Word-boundary note: \\b is ASCII in RE2 and Unicode-aware
-    in Java — identical on corpora where digits neighbor only ASCII
-    word characters; the multibyte pytest pins the supported shapes."""
+    order.  Word boundaries are explicit ASCII constructs on both
+    sides (see PII_PATTERNS), so engine and oracle are byte-identical
+    even where digits neighbor CJK or other non-ASCII characters."""
     cur = F.coalesce(F.col(text_col), F.lit(""))
     counts = []
-    for name, pat, tok in PII_PATTERNS:
+    for name, java_pat, _re2_pat, tok in PII_PATTERNS:
         counts.append(
-            (F.size(F.split(cur, pat, -1)) - 1).alias(f"n_{name}")
+            (F.size(F.split(cur, java_pat, -1)) - 1).alias(f"n_{name}")
         )
-        cur = F.regexp_replace(cur, pat, tok)
+        cur = F.regexp_replace(cur, java_pat, tok)
     return df.select(
         F.col(id_col), cur.alias(text_col), *counts
     )
@@ -341,8 +335,8 @@ def sql_scrub_pii(text: str = "text") -> str:
     regexp_extract_all on the same intermediate rewrites."""
     cur = f"COALESCE({text}, '')"
     count_cols = []
-    for name, pat, tok in PII_PATTERNS:
-        p = pat.replace("'", "''")
+    for name, _java_pat, re2_pat, tok in PII_PATTERNS:
+        p = re2_pat.replace("'", "''")
         count_cols.append(
             f"LEN(REGEXP_EXTRACT_ALL({cur}, '{p}')) AS n_{name}"
         )

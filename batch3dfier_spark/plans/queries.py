@@ -463,9 +463,12 @@ def _sql_textstats() -> str:
     )
     stop_list = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
     n_stop = f"LEN(LIST_FILTER({toks}, t -> LIST_CONTAINS({stop_list}, LOWER(t))))"
+    # explicit FLOOR half-away form (see textstats._ratio6): identical
+    # IEEE ops in both engines, unlike engine-native ROUND(x, 6)
     ratio = lambda num, den: (
-        f"ROUND(CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) "
-        f"ELSE 0.0 END, 6)"
+        f"CASE WHEN {den} > 0 THEN "
+        f"FLOOR(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) * 1000000.0 "
+        f"+ 0.5) / 1000000.0 ELSE 0.0 END"
     )
     hits = {
         lang: (

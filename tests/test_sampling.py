@@ -174,6 +174,11 @@ def test_scrub_pii_matches_duckdb(spark):
         "",
         None,
         "double a@b.cc c@d.ee emails and 1.1.1.1 2.2.2.2 ips",
+        # CJK glued directly to the digits (round-4 divergence
+        # surface): Java \b would treat 器/上 as word chars and skip
+        # the IP; the explicit ASCII guards scrub it like RE2 does
+        "服务器10.0.0.1上的电话+86 138 1234 5678联系",
+        "词1.2.3.4词 and 5.6.7.8x stays, x9.9.9.9 stays too",
     ]
     pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     got = (
