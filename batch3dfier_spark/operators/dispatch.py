@@ -57,12 +57,17 @@ def run_tiles(
     collect_lineage: bool = True,
 ) -> pd.DataFrame | int:
     """Run `process` once per tile group; write per-tile parquet into
-    `table`; commit atomically; return the table's lineage frame
-    (collect_lineage=True, the reporting default) or just the new
+    `table`; commit atomically; return the table's CUMULATIVE lineage
+    frame (collect_lineage=True, the reporting default) or just the new
     snapshot id (collect_lineage=False — at 1e8-tile scale even the
     convenience pandas return is a driver materialization; query
     `table.lineage(min_tile=..., max_tile=...)` pruned or
     `table.completed_tiles_df(spark)` distributed instead).
+
+    CONTRACT NOTE: the returned frame spans ALL runs against `table`,
+    not just this one — on a resumed table, skip_report(run_tiles(...))
+    therefore reports table totals.  For this run only, filter to the
+    newest snapshot: `lin[lin.snapshot_id == lin.snapshot_id.max()]`.
 
     - resume=True drops tiles already committed (anti-join vs lineage).
     - skip_tiles are recorded with status='skipped' without processing
@@ -91,8 +96,14 @@ def run_tiles(
     """
     spark = df.sparkSession
     import json as _json
+    import re as _re
 
-    proc_name = getattr(process, "__name__", "process")
+    # the name is embedded in work-order JSON via format_string (no
+    # per-row json.dumps), so strip anything that could break the JSON
+    # framing (quotes, backslashes, control chars)
+    proc_name = _re.sub(
+        r'["\\\x00-\x1f]', "", getattr(process, "__name__", "process")
+    )
     skip_tiles = set(skip_tiles or ())
 
     # -- resume: drop completed tiles without materializing big sets ------
@@ -117,6 +128,18 @@ def run_tiles(
             on=tile_col, how="left_anti",
         )
         if skip_tiles:
+            # BOUNDED collect by construction: the isin predicate
+            # filters the completed set down to the caller-supplied
+            # skip list, so at most len(skip_tiles) rows reach the
+            # driver — and skip_tiles is already a driver-resident
+            # Python set, so this cannot exceed what the caller
+            # materialized to make the call.  The assert turns a
+            # future generated-skip-set misuse into a loud failure
+            # instead of a silent driver OOM.
+            assert len(skip_tiles) <= 1_000_000, (
+                "skip_tiles is a driver-side set; for skip lists this "
+                "large, pre-filter the work DataFrame instead"
+            )
             done_skips = {
                 int(r[0])
                 for r in completed_df.where(
@@ -150,6 +173,14 @@ def run_tiles(
         status = "ok" if len(out) else "empty"
         path = ""
         if len(out):
+            # every data file carries a row-level tile_gid column (the
+            # hive-style dir alone is path metadata): pruned reads stay
+            # tile-EXACT even after compaction merges tiles into
+            # range-sorted files (tablefmt.read applies the range as a
+            # row filter when the column exists)
+            if "tile_gid" not in out.columns:
+                out = out.copy()
+                out.insert(0, "tile_gid", tile)
             rel_dir = os.path.join("data", f"tile_gid={tile}")
             os.makedirs(os.path.join(table_root, rel_dir), exist_ok=True)
             import uuid as _uuid
@@ -243,10 +274,19 @@ def run_tiles(
         )
 
     # distributed lineage write (this action also runs the workers),
-    # then a footer-stats-only commit
+    # then a footer-stats-only commit; on failure the staging dir is
+    # removed so a crashed run leaves no invisible orphan garbage
+    # (worker-written data files stay unreferenced and are reclaimed
+    # by table.vacuum())
     staging = table.stage_dir()
-    lin.write.parquet(staging)
-    sid = table.commit_staged(staging)
+    try:
+        lin.write.parquet(staging)
+        sid = table.commit_staged(staging)
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     if not collect_lineage:
         return sid
     return table.lineage()
@@ -285,7 +325,10 @@ def salted_split(
 
 def skip_report(lineage: pd.DataFrame) -> dict:
     """The reference's end-of-run report (batch3dfierapp.py:312-319):
-    processed = tiles - skipped."""
+    processed = tiles - skipped.  Counts reflect whatever frame you
+    pass: run_tiles returns the table's CUMULATIVE lineage, so on a
+    resumed table this reports table totals — filter to one
+    snapshot_id first for a per-run report."""
     by = lineage.groupby("status")["tile_gid"].nunique().to_dict()
     return {
         "tiles_total": int(lineage["tile_gid"].nunique()),

@@ -188,16 +188,24 @@ class IcebergishTable:
         per-part min/max stats (parquet row-group footers at commit
         time), then row-filter; inline manifests row-filter, and files
         whose tile can't be derived from a hive-style path are kept
-        conservatively."""
+        conservatively.  `data_files` entries (compaction rewrites,
+        expiry rebases) prune via their per-file min/max tile stats."""
         name = snap.get("manifest")
         if name is None:
             return [], []
         m = self._manifest(name)
         sid = snap["snapshot_id"]
-        if "lineage_parquet" in m:
+        if "lineage_parquet" in m or "data_files" in m:
             files: list[str] = []
             rows: list[dict] = []
-            for part in m["lineage_parquet"]:
+            for df_entry in m.get("data_files", []):
+                if self._stats_overlap(
+                    {"min_tile": df_entry.get("min_tile"),
+                     "max_tile": df_entry.get("max_tile")},
+                    lo, hi,
+                ):
+                    files.append(df_entry["path"])
+            for part in m.get("lineage_parquet", []):
                 if not self._stats_overlap(part, lo, hi):
                     continue
                 for r in self._part_rows(part["path"]):
@@ -206,7 +214,8 @@ class IcebergishTable:
                     files.extend(r.get("paths") or [])
                     rows.append(
                         {k: r[k] for k in _LINEAGE_COLS if k != "snapshot_id"}
-                        | {"snapshot_id": sid}
+                        | {"snapshot_id": r.get("snapshot_id", sid)
+                            if m.get("base") else sid}
                     )
             return files, rows
         files = list(m["files"])
@@ -237,22 +246,38 @@ class IcebergishTable:
         pointer carries commit-level tile stats, so a commit whose range
         is disjoint is skipped WITHOUT opening its manifest (let alone
         its lineage parquet) — reading one tile's files from a
-        1000-commit table touches ~1 manifest, not 1000."""
-        chain: list[dict] = []
+        1000-commit table touches ~1 manifest, not 1000.
+
+        A REWRITE snapshot (compaction) carries the COMPLETE data-file
+        set as of its commit: commits OLDER than the newest rewrite on
+        the path contribute lineage history only, never files (their
+        data files were superseded by the compacted ones)."""
+        chain: list[tuple[dict, bool, bool]] = []  # (snap, files?, lineage?)
         sid: int | None = snapshot_id
         base_files: list[str] = []
         base_lineage: list[dict] = []
         pruning = min_tile is not None or max_tile is not None
+        files_visible = True
         while sid is not None:
             snap = self._raw_snapshot(sid)
             if "manifest" in snap:
-                if not pruning or self._stats_overlap(
+                inc_lin = not pruning or self._stats_overlap(
                     snap.get("stats"), min_tile, max_tile
-                ):
-                    chain.append(snap)
+                )
+                inc_files = files_visible and (
+                    not pruning or self._stats_overlap(
+                        snap.get("file_stats", snap.get("stats")),
+                        min_tile, max_tile,
+                    )
+                )
+                if inc_lin or inc_files:
+                    chain.append((snap, inc_files, inc_lin))
+                if snap.get("rewrite"):
+                    files_visible = False
                 sid = snap["parent"]
             else:  # legacy cumulative snapshot: already holds full history
-                base_files = list(snap.get("files", []))
+                if files_visible:
+                    base_files = list(snap.get("files", []))
                 base_lineage = list(snap.get("lineage", []))
                 break
         if pruning:
@@ -267,13 +292,15 @@ class IcebergishTable:
             ]
         files = list(base_files)
         lineage = list(base_lineage)
-        for snap in reversed(chain):  # oldest -> newest
+        for snap, inc_files, inc_lin in reversed(chain):  # oldest -> newest
             f, r = self._commit_content(
                 snap, min_tile if pruning else None,
                 max_tile if pruning else None,
             )
-            files.extend(f)
-            lineage.extend(r)
+            if inc_files:
+                files.extend(f)
+            if inc_lin:
+                lineage.extend(r)
         return [self._abs(f) for f in files], lineage
 
     def current_snapshot(self) -> dict | None:
@@ -321,14 +348,18 @@ class IcebergishTable:
 
     def _finish_commit(self, sid: int, parent: int | None,
                        manifest_name: str | None,
-                       stats: dict | None) -> int:
+                       stats: dict | None,
+                       extra: dict | None = None) -> int:
         """Shared commit tail: O(1) snapshot pointer (carrying the
         commit-level tile stats used for pruned chain walks), then
-        atomically swap CURRENT."""
+        atomically swap CURRENT.  `extra` merges additional pointer
+        fields (rewrite flag, file_stats) for maintenance commits."""
         snap: dict = {"snapshot_id": sid, "parent": parent,
                       "manifest": manifest_name}
         if stats is not None:
             snap["stats"] = stats
+        if extra:
+            snap.update(extra)
         snap_name = f"snapshot-{sid:06d}.json"
         self._write_atomic(snap_name, snap)
         ptmp = os.path.join(self.meta_dir, f".CURRENT.{uuid.uuid4().hex}.tmp")
@@ -365,6 +396,51 @@ class IcebergishTable:
             stats = {"n_rows": 0}
         return self._finish_commit(sid, parent, manifest_name, stats)
 
+    def _footer_file_stats(self, d: str) -> list[dict]:
+        """Per-file {path (root-relative), n_rows, min_tile, max_tile}
+        for every non-empty .parquet under `d`, from parquet FOOTERS
+        only (row-group statistics of the `tile_gid` column — never the
+        data pages).  Shared by commit_staged (staged-lineage parts) and
+        compact (rewritten data files)."""
+        parts: list[dict] = []
+        if not os.path.isdir(d):
+            return parts
+        for n in sorted(os.listdir(d)):
+            if not n.endswith(".parquet"):
+                continue
+            e = self._file_stat(os.path.join(d, n))
+            if e is not None:
+                parts.append(e)
+        return parts
+
+    def _file_stat(self, p: str) -> dict | None:
+        """Footer-only stats entry for one parquet file (None if the
+        file is empty): {path (root-relative), n_rows, min_tile,
+        max_tile} with the tile range from `tile_gid` row-group
+        statistics where the column exists."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(p).metadata
+        if md.num_rows == 0:
+            return None
+        idx = next(
+            (i for i in range(md.num_columns)
+             if md.row_group(0).column(i).path_in_schema == "tile_gid"),
+            None,
+        ) if md.num_row_groups else None
+        mins: list[int] = []
+        maxs: list[int] = []
+        if idx is not None:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(int(st.min))
+                    maxs.append(int(st.max))
+        return {"path": os.path.relpath(p, self.root),
+                "n_rows": md.num_rows,
+                "min_tile": min(mins) if mins else None,
+                "max_tile": max(maxs) if maxs else None}
+
     def stage_dir(self) -> str:
         """A fresh directory under metadata/ for a DISTRIBUTED lineage
         write (Spark writes parquet parts straight into it — executor-
@@ -381,38 +457,8 @@ class IcebergishTable:
         stats, writes a manifest listing the parts, and the usual O(1)
         pointer.  Driver I/O is O(parts) (~shuffle partitions), not
         O(tiles)."""
-        import pyarrow.parquet as pq
-
         sid, parent = self._next_sid()
-        parts: list[dict] = []
-        if os.path.isdir(staged_dir):
-            for n in sorted(os.listdir(staged_dir)):
-                if not n.endswith(".parquet"):
-                    continue
-                p = os.path.join(staged_dir, n)
-                md = pq.ParquetFile(p).metadata
-                if md.num_rows == 0:
-                    continue
-                idx = next(
-                    (i for i in range(md.num_columns)
-                     if md.row_group(0).column(i).path_in_schema
-                     == "tile_gid"),
-                    None,
-                ) if md.num_row_groups else None
-                mins: list[int] = []
-                maxs: list[int] = []
-                if idx is not None:
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx).statistics
-                        if st is not None and st.has_min_max:
-                            mins.append(int(st.min))
-                            maxs.append(int(st.max))
-                parts.append(
-                    {"path": os.path.relpath(p, self.root),
-                     "n_rows": md.num_rows,
-                     "min_tile": min(mins) if mins else None,
-                     "max_tile": max(maxs) if maxs else None}
-                )
+        parts = self._footer_file_stats(staged_dir)
         manifest_name = None
         stats: dict | None = {"n_rows": 0}
         if parts:
@@ -526,8 +572,10 @@ class IcebergishTable:
             name = snap["manifest"]
             if name is not None:
                 m = self._manifest(name)
-                if "lineage_parquet" in m:
-                    part_paths.extend(p["path"] for p in m["lineage_parquet"])
+                if "lineage_parquet" in m or "data_files" in m:
+                    part_paths.extend(
+                        p["path"] for p in m.get("lineage_parquet", [])
+                    )
                 else:
                     inline.extend(
                         (int(r["tile_gid"]), str(r["status"]))
@@ -561,11 +609,28 @@ class IcebergishTable:
         files — uncommitted task output is invisible).  snapshot_id
         reads the table AS OF that commit (time travel); min_tile/
         max_tile restrict the scan to that tile range via the pruned
-        metadata walk (Iceberg-style partition-summary skipping)."""
+        metadata walk (Iceberg-style partition-summary skipping).
+
+        When the data carries a row-level `tile_gid` column (every file
+        run_tiles writes, and every compacted file), a pruned read ALSO
+        applies the range as a row filter, so the result is tile-exact
+        even when a compacted file spans several tiles — the file-level
+        prune is the scan optimization, the filter is the contract (the
+        split Iceberg itself makes).  Pre-upgrade tables without the
+        column keep exact semantics from their per-tile file layout."""
         fs = self.files(snapshot_id, min_tile, max_tile)
         if not fs:
             raise ValueError("empty table (no committed snapshot)")
-        return spark.read.parquet(*fs)
+        df = spark.read.parquet(*fs)
+        if (min_tile is not None or max_tile is not None) \
+                and "tile_gid" in df.columns:
+            from pyspark.sql import functions as F
+
+            if min_tile is not None:
+                df = df.where(F.col("tile_gid") >= min_tile)
+            if max_tile is not None:
+                df = df.where(F.col("tile_gid") <= max_tile)
+        return df
 
     # -- task-side helpers ------------------------------------------------------
 
@@ -573,6 +638,259 @@ class IcebergishTable:
         d = os.path.join(self.data_dir, f"tile_gid={tile_gid}")
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"{uuid.uuid4().hex}.parquet")
+
+    # -- maintenance (compaction, snapshot expiry, vacuum) --------------------
+    # The reference delegates table maintenance to Postgres — db.vacuum
+    # runs VACUUM ANALYZE after bulk loads (batch3dfier/db.py:62-83).
+    # An Iceberg-style table needs the jobs Postgres does implicitly:
+    # rewriting many small files into few (Iceberg rewriteDataFiles),
+    # retiring old snapshots (expire_snapshots), and reclaiming
+    # unreferenced storage (remove_orphan_files).  Without them a
+    # 1e6-tile run leaves ~1e6 small files per pass and the manifest
+    # chain grows unboundedly across runs.
+
+    def compact(self, spark, target_file_rows: int = 4_000_000) -> int:
+        """Rewrite the current snapshot's data into ~rows/target
+        TILE-RANGE-SORTED files and commit them as a REWRITE snapshot
+        (Iceberg rewriteDataFiles binpack+sort).  The rewrite manifest
+        carries the complete replacement file set with per-file tile
+        ranges, so older commits keep contributing lineage history but
+        never files; every pre-compaction snapshot stays time-travel
+        readable until expired.  Lineage, resume, and skip bookkeeping
+        are untouched — compaction changes layout, not state.
+
+        The shuffle is ONE range repartition on tile_gid (sampled range
+        boundaries make output files contiguous tile runs, so pruned
+        reads touch few files); the write is executor-side; the commit
+        reads only output parquet footers.  Files written before the
+        row-level tile_gid column upgrade derive their tile from the
+        hive-style path during the rewrite."""
+        import math
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        fs = self.files()
+        if not fs:
+            raise ValueError("empty table (no committed snapshot)")
+        df = spark.read.parquet(*fs)
+        if "tile_gid" not in df.columns:
+            df = df.withColumn(
+                "tile_gid",
+                F.regexp_extract(
+                    F.input_file_name(), r"tile_gid=(\d+)", 1
+                ).cast("bigint"),
+            )
+        total = df.count()
+        n_out = max(1, math.ceil(total / target_file_rows))
+        out_rel = os.path.join("data", f"compact-{uuid.uuid4().hex}")
+        out_dir = os.path.join(self.root, out_rel)
+        try:
+            (
+                df.repartitionByRange(n_out, "tile_gid")
+                .sortWithinPartitions("tile_gid")
+                .write.parquet(out_dir)
+            )
+            entries = self._footer_file_stats(out_dir)
+            sid, parent = self._next_sid()
+            manifest_name = f"manifest-{sid:06d}-{uuid.uuid4().hex}.json"
+            self._write_atomic(
+                manifest_name,
+                {"snapshot_id": sid, "data_files": entries},
+            )
+            mins = [e["min_tile"] for e in entries
+                    if e["min_tile"] is not None]
+            maxs = [e["max_tile"] for e in entries
+                    if e["max_tile"] is not None]
+            return self._finish_commit(
+                sid, parent, manifest_name,
+                {"n_rows": 0},  # a rewrite adds no lineage
+                extra={
+                    "rewrite": True,
+                    "file_stats": {
+                        "n_rows": sum(e["n_rows"] for e in entries),
+                        "min_tile": min(mins) if mins else None,
+                        "max_tile": max(maxs) if maxs else None,
+                    },
+                },
+            )
+        except BaseException:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
+
+    def expire_snapshots(self, keep_n: int = 2) -> list[int]:
+        """Retire all but the newest `keep_n` snapshots (Iceberg
+        expire_snapshots): the oldest RETAINED snapshot is rebased into
+        a self-contained base manifest — its cumulative file set (with
+        per-file tile stats, so pruned walks keep skipping) plus its
+        cumulative lineage as one parquet part with per-row original
+        snapshot_id — then the expired pointers/manifests are deleted
+        and vacuum() reclaims everything no retained snapshot
+        references (superseded pre-compaction files included).
+
+        Time travel to retained snapshots is unchanged (the rebase
+        preserves files, lineage, and lineage attribution exactly);
+        expired ids raise.  Driver cost is O(base files + base lineage)
+        — the same class as the manifest scan Iceberg's own maintenance
+        actions run.  Returns the expired snapshot ids."""
+        if keep_n < 1:
+            raise ValueError("keep_n must be >= 1")
+        sids = self.snapshots()
+        if len(sids) <= keep_n:
+            return []
+        expired, kept = sids[:-keep_n], sids[-keep_n:]
+        base_sid = kept[0]
+        files, lineage = self._resolve_chain(base_sid)
+
+        entries: list[dict] = []
+        for f in files:
+            t = self._tile_of_path(f)
+            e = None
+            if t is None and os.path.exists(f):
+                e = self._file_stat(f)  # compacted file: footer range
+            if e is None:
+                e = {"path": self._rel(f),
+                     "n_rows": None, "min_tile": t, "max_tile": t}
+            else:
+                e["path"] = self._rel(f)
+            entries.append(e)
+
+        parts: list[dict] = []
+        if lineage:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            schema = pa.schema([
+                ("tile_gid", pa.int64()), ("partition_id", pa.int32()),
+                ("rows_in", pa.int64()), ("rows_out", pa.int64()),
+                ("wall_ms", pa.float64()), ("status", pa.string()),
+                ("snapshot_id", pa.int64()), ("work_order", pa.string()),
+            ])
+            rows = [
+                {"tile_gid": int(r["tile_gid"]),
+                 "partition_id": int(r.get("partition_id") or 0),
+                 "rows_in": int(r.get("rows_in") or 0),
+                 "rows_out": int(r.get("rows_out") or 0),
+                 "wall_ms": float(r.get("wall_ms") or 0.0),
+                 "status": str(r.get("status", "")),
+                 "snapshot_id": int(r.get("snapshot_id") or base_sid),
+                 "work_order": str(r.get("work_order") or "")}
+                for r in lineage
+            ]
+            part_dir = os.path.join(
+                self.meta_dir, f"lineage-base-{uuid.uuid4().hex}")
+            os.makedirs(part_dir, exist_ok=True)
+            part_path = os.path.join(part_dir, "part-0.parquet")
+            pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                           part_path)
+            tiles = [r["tile_gid"] for r in rows]
+            parts.append({"path": os.path.relpath(part_path, self.root),
+                          "n_rows": len(rows),
+                          "min_tile": min(tiles), "max_tile": max(tiles)})
+
+        base_name = f"manifest-{base_sid:06d}-{uuid.uuid4().hex}.json"
+        self._write_atomic(
+            base_name,
+            {"snapshot_id": base_sid, "base": True,
+             "data_files": entries, "lineage_parquet": parts},
+        )
+        mins = [e["min_tile"] for e in entries if e["min_tile"] is not None]
+        maxs = [e["max_tile"] for e in entries if e["max_tile"] is not None]
+        lin_tiles = [p for p in parts]
+        self._write_atomic(
+            f"snapshot-{base_sid:06d}.json",
+            {"snapshot_id": base_sid, "parent": None,
+             "manifest": base_name,
+             "stats": {
+                 "n_rows": sum(p["n_rows"] for p in lin_tiles),
+                 "min_tile": min((p["min_tile"] for p in lin_tiles),
+                                 default=None),
+                 "max_tile": max((p["max_tile"] for p in lin_tiles),
+                                 default=None),
+             },
+             "file_stats": {
+                 "n_rows": len(entries),
+                 "min_tile": min(mins) if mins else None,
+                 "max_tile": max(maxs) if maxs else None,
+             },
+             "base": True},
+        )
+        self._snap_cache.pop(base_sid, None)
+        for sid in expired:
+            p = os.path.join(self.meta_dir, f"snapshot-{sid:06d}.json")
+            if os.path.exists(p):
+                os.remove(p)
+            self._snap_cache.pop(sid, None)
+        self.vacuum()
+        return expired
+
+    def vacuum(self) -> dict:
+        """Reclaim everything NO committed snapshot references: data
+        files (e.g. pre-compaction small files once their snapshots
+        expired), staged-lineage parts and dirs (including orphans from
+        runs that died between staging and commit — otherwise invisible
+        but unbounded garbage), manifests written by failed commits,
+        and stale .tmp files.  Run it only while no writer is in
+        flight: a concurrently staged-but-uncommitted run looks like an
+        orphan (the same caveat as Iceberg remove_orphan_files, which
+        uses a retention interval for the purpose).  Returns removal
+        counts."""
+        ref_files: set[str] = set()
+        ref_manifests: set[str] = set()
+        ref_parts: set[str] = set()
+        for sid in self.snapshots():
+            snap = self._raw_snapshot(sid)
+            if "manifest" not in snap:  # legacy cumulative snapshot
+                ref_files.update(
+                    os.path.abspath(self._abs(f))
+                    for f in snap.get("files", []))
+                continue
+            name = snap.get("manifest")
+            if name is None:
+                continue
+            ref_manifests.add(name)
+            m = self._manifest(name)
+            ref_files.update(
+                os.path.abspath(self._abs(f)) for f in m.get("files", []))
+            ref_files.update(
+                os.path.abspath(self._abs(e["path"]))
+                for e in m.get("data_files", []))
+            for part in m.get("lineage_parquet", []):
+                ref_parts.add(os.path.abspath(self._abs(part["path"])))
+                for r in self._part_rows(part["path"]):
+                    ref_files.update(
+                        os.path.abspath(self._abs(p))
+                        for p in (r.get("paths") or []))
+        removed = {"data_files": 0, "lineage_parts": 0,
+                   "manifests": 0, "tmp": 0}
+        for root_, _dirs, names in os.walk(self.data_dir, topdown=False):
+            for n in names:
+                p = os.path.join(root_, n)
+                if os.path.abspath(p) not in ref_files:
+                    os.remove(p)
+                    removed["data_files"] += 1
+            if root_ != self.data_dir and not os.listdir(root_):
+                os.rmdir(root_)
+        for n in list(os.listdir(self.meta_dir)):
+            p = os.path.join(self.meta_dir, n)
+            if (n.startswith("manifest-") and n.endswith(".json")
+                    and n not in ref_manifests):
+                os.remove(p)
+                self._manifest_cache.pop(n, None)
+                removed["manifests"] += 1
+            elif n.startswith(".") and n.endswith(".tmp"):
+                os.remove(p)
+                removed["tmp"] += 1
+            elif os.path.isdir(p) and n.startswith("lineage-"):
+                for rr, _dd, ff in os.walk(p, topdown=False):
+                    for fn in ff:
+                        fp = os.path.join(rr, fn)
+                        if os.path.abspath(fp) not in ref_parts:
+                            os.remove(fp)
+                            removed["lineage_parts"] += 1
+                    if not os.listdir(rr):
+                        os.rmdir(rr)
+        return removed
 
     # -- export (S9) ----------------------------------------------------------
 

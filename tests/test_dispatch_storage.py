@@ -441,3 +441,187 @@ def test_table_directory_is_movable(spark, tmp_path):
     got = moved.read(spark).orderBy("url").toPandas()
     pd.testing.assert_frame_equal(got, exp)
     assert moved.completed_tiles() == {1, 2}
+
+
+# -- maintenance: compaction, snapshot expiry, vacuum (round-5 VERDICT #3) --
+
+
+def _commit_tile_files(table, tiles, rows_per_tile=5, commit_tag=0):
+    """Write one small per-tile parquet (with the row-level tile_gid
+    column run_tiles writes) per tile and commit them as ONE snapshot."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from batch3dfier_spark.storage.tablefmt import LineageRow
+
+    files, lineage = [], []
+    for t in tiles:
+        p = table.new_data_path(t)
+        pq.write_table(
+            pa.table(
+                {
+                    "tile_gid": pa.array([t] * rows_per_tile, pa.int64()),
+                    "url": [f"u{t:05d}_{commit_tag}_{i}"
+                            for i in range(rows_per_tile)],
+                    "v": pa.array(
+                        [t * 1000 + commit_tag * 10 + i
+                         for i in range(rows_per_tile)], pa.int64()),
+                }
+            ),
+            p,
+        )
+        files.append(p)
+        lineage.append(
+            LineageRow(tile_gid=t, partition_id=0, rows_in=rows_per_tile,
+                       rows_out=rows_per_tile, wall_ms=1.0, status="ok")
+        )
+    return table.commit(files, lineage)
+
+
+def test_compact_1000_tiles_10_commits(spark, tmp_path):
+    """A 1000-tile table built across 10 commits (one small file per
+    tile) compacts into <= ceil(rows/target) tile-range-sorted files;
+    reads (full, pruned, time-travel) and resume bookkeeping survive."""
+    table = IcebergishTable(str(tmp_path / "c"))
+    n_tiles, n_commits = 1000, 10
+    per_commit = n_tiles // n_commits
+    for c in range(n_commits):
+        tiles = range(c * per_commit + 1, (c + 1) * per_commit + 1)
+        _commit_tile_files(table, tiles, rows_per_tile=2, commit_tag=c)
+    assert len(table.files()) == n_tiles
+    before = table.read(spark).orderBy("url").toPandas()
+
+    sid = table.compact(spark, target_file_rows=800)  # 2000 rows -> 3 files
+    assert sid == n_commits + 1
+    fs = table.files()
+    assert len(fs) == 3
+    after = table.read(spark).orderBy("url").toPandas()
+    pd.testing.assert_frame_equal(
+        after.reset_index(drop=True), before.reset_index(drop=True))
+
+    # pruned read is tile-EXACT even though files span tile ranges:
+    # file-level pruning touches 1 of 3 range-sorted files, the row
+    # filter restores exactness
+    assert len(table.files(min_tile=17, max_tile=17)) == 1
+    one = table.read(spark, min_tile=17, max_tile=17).toPandas()
+    assert len(one) == 2 and set(one["tile_gid"]) == {17}
+
+    # time travel: pre-compaction snapshots stay readable until expired
+    mid = table.read(spark, snapshot_id=5).toPandas()
+    assert mid["tile_gid"].nunique() == 5 * per_commit
+
+    # lineage/resume bookkeeping untouched by the layout rewrite
+    assert table.completed_tiles() == set(range(1, n_tiles + 1))
+    assert len(table.lineage()) == n_tiles
+
+    # appends after compaction coexist with the rewrite file set
+    _commit_tile_files(table, [n_tiles + 1], rows_per_tile=2, commit_tag=99)
+    assert len(table.files()) == 4
+    assert table.read(spark).count() == 2 * n_tiles + 2
+
+
+def test_expire_snapshots_and_vacuum(spark, tmp_path):
+    """expire_snapshots rebases the oldest retained snapshot into a
+    self-contained base (files + attributed lineage), deletes expired
+    metadata, and vacuum reclaims superseded data files; retained time
+    travel and resume stay green, expired ids raise."""
+    import os
+
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(40)],
+            "text": ["x y"] * 40,
+            "tile_gid": [i % 8 + 1 for i in range(40)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    table = IcebergishTable(str(tmp_path / "e"))
+    run_tiles(df.where(F.col("tile_gid") <= 3), tile_processor, table)
+    run_tiles(df.where(F.col("tile_gid") <= 6), tile_processor, table)
+    run_tiles(df, tile_processor, table)
+    table.compact(spark, target_file_rows=1000)
+    assert table.snapshots() == [1, 2, 3, 4]
+    full = table.read(spark).orderBy("url").toPandas()
+    as_of_3 = table.read(spark, snapshot_id=3).orderBy("url").toPandas()
+    lin_before = table.lineage().sort_values(
+        ["tile_gid", "snapshot_id"]).reset_index(drop=True)
+
+    expired = table.expire_snapshots(keep_n=2)
+    assert expired == [1, 2]
+    assert table.snapshots() == [3, 4]
+    # current + retained time travel unchanged, lineage attribution kept
+    pd.testing.assert_frame_equal(
+        table.read(spark).orderBy("url").toPandas(), full)
+    pd.testing.assert_frame_equal(
+        table.read(spark, snapshot_id=3).orderBy("url").toPandas(), as_of_3)
+    lin_after = table.lineage().sort_values(
+        ["tile_gid", "snapshot_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        lin_after[["tile_gid", "snapshot_id", "status", "rows_out"]],
+        lin_before[["tile_gid", "snapshot_id", "status", "rows_out"]],
+    )
+    # expired ids are gone
+    with pytest.raises(ValueError):
+        table.snapshot(1)
+    # fresh instance (no caches) still reads everything
+    t2 = IcebergishTable(table.root)
+    assert t2.read(spark).count() == 40
+    assert t2.completed_tiles() == set(range(1, 9))
+
+    # expire down to the rewrite snapshot only: the pre-compaction
+    # per-tile files become unreferenced and vacuum reclaims them
+    table.expire_snapshots(keep_n=1)
+    assert table.snapshots() == [4]
+    on_disk = {
+        os.path.join(r, n)
+        for r, _, ns in os.walk(table.data_dir) for n in ns
+        if n.endswith(".parquet")
+    }
+    assert on_disk == set(table.files())
+    assert not any("tile_gid=" in p for p in on_disk)
+    pd.testing.assert_frame_equal(
+        table.read(spark).orderBy("url").toPandas(), full)
+
+    # resume on the expired+compacted table: nothing reprocesses
+    lin2 = run_tiles(df, tile_processor, table)
+    assert int((lin2["snapshot_id"] > 4).sum()) == 0
+    assert table.read(spark).count() == 40
+
+
+def test_vacuum_reclaims_orphans(spark, tmp_path):
+    """A run that dies between staging and commit (or a failed manifest
+    write) leaves orphans no snapshot references; vacuum removes them
+    without touching committed state."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame({"url": ["a", "b"], "text": ["x y", "z"],
+                        "tile_gid": [1, 2]})
+    table = IcebergishTable(str(tmp_path / "v"))
+    run_tiles(spark.createDataFrame(pdf), tile_processor, table)
+    exp = table.read(spark).orderBy("url").toPandas()
+
+    # orphan staged-lineage dir (crash between staging and commit)
+    orphan_stage = table.stage_dir()
+    os.makedirs(orphan_stage)
+    pq.write_table(pa.table({"tile_gid": pa.array([9], pa.int64())}),
+                   os.path.join(orphan_stage, "part-0.parquet"))
+    # orphan data file (worker wrote it, run never committed)
+    orphan_data = table.new_data_path(99)
+    pq.write_table(pa.table({"tile_gid": pa.array([99], pa.int64())}),
+                   orphan_data)
+    # orphan manifest (written, commit failed before the pointer swap)
+    table._write_atomic("manifest-000099-deadbeef.json",
+                        {"snapshot_id": 99, "files": [], "lineage": []})
+
+    removed = table.vacuum()
+    assert removed["data_files"] >= 1
+    assert removed["lineage_parts"] >= 1
+    assert removed["manifests"] >= 1
+    assert not os.path.exists(orphan_stage)
+    assert not os.path.exists(orphan_data)
+    pd.testing.assert_frame_equal(
+        table.read(spark).orderBy("url").toPandas(), exp)
+    assert table.completed_tiles() == {1, 2}
