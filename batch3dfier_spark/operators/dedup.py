@@ -866,14 +866,19 @@ def ngram_jaccard_pairs(
 QUANT = 1048576.0  # 2^20
 
 
-def _quantize(M: np.ndarray) -> np.ndarray:
+def quantize_half_away(M: np.ndarray) -> np.ndarray:
     """round(x * 2^20) with HALF-AWAY-FROM-ZERO ties — the rule Spark
     F.round and DuckDB ROUND share (np.round would banker's-round).
+    THE one copy of the cross-engine rounding rule: similarity.py
+    imports it too, so the embedding-dedup and ANN paths cannot drift.
     Kernel-side so no F.transform lambda reaches the plan: JVM
     higher-order-function lambdas defeat the codegen cache and cost
     seconds of janino compile per fresh plan (round-3 discovery)."""
     V = M * QUANT
     return np.sign(V) * np.floor(np.abs(V) + 0.5)
+
+
+_quantize = quantize_half_away  # internal alias
 
 
 def _unpack_block(vecs) -> tuple[np.ndarray, np.ndarray]:

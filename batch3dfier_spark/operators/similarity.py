@@ -113,6 +113,12 @@ def cosine_topk(
         )
         .toPandas()
     )
+    if qpdf.empty:
+        # no queries -> empty result in the output schema (np.stack
+        # would raise on an empty sequence)
+        return spark.createDataFrame(
+            [], "query_id bigint, rank int, cand_id bigint, cosine double"
+        )
     q_ids = qpdf["query_id"].to_numpy()
     Q = np.stack([np.asarray(v, dtype=np.float64)
                   for v in qpdf["query_vec"]])
@@ -171,7 +177,11 @@ def cosine_topk(
     return _rank_topk(scored, k)
 
 
-from .dedup import QUANT  # single source of the 2^20 cross-engine quantum
+# single source of the 2^20 quantum AND the half-away rounding rule —
+# one copy of the cross-engine (Spark F.round == DuckDB ROUND)
+# determinism contract, shared with the embedding-dedup path
+from .dedup import QUANT
+from .dedup import quantize_half_away as _quantize_half_away
 
 # splitmix64 finalizer constants (closed form shared with the SQL oracle)
 _SM_C0 = 0x9E3779B97F4A7C15
@@ -205,13 +215,6 @@ def _projection(dim: int, n_planes: int) -> np.ndarray:
         z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM_K2)
         z = z ^ (z >> np.uint64(31))
     return (z >> np.uint64(44)).astype(np.float64) - 524288.0
-
-
-def _quantize_half_away(V: np.ndarray) -> np.ndarray:
-    """round(x * 2^20) half-away-from-zero — matches Spark F.round
-    (HALF_UP) and DuckDB ROUND; np.round is half-even and diverges."""
-    raw = V * QUANT
-    return np.sign(raw) * np.floor(np.abs(raw) + 0.5)
 
 
 def hyperplane_signatures(
@@ -469,8 +472,6 @@ def ivf_build(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    from .dedup import QUANT as _Q
-
     for _ in range(iters):
         sums = (
             _assign_partial_sums(q, C, id_col, "_v")
@@ -481,7 +482,7 @@ def ivf_build(
         C = C.copy()
         for cid, grp in sums.groupby("cid"):
             g = grp.sort_values("dim")
-            C[int(cid)] = g["s"].to_numpy() / g["cnt"].to_numpy() / _Q
+            C[int(cid)] = g["s"].to_numpy() / g["cnt"].to_numpy() / QUANT
         C = np.round(C, 6)
     return C, _assign_centroids(q, C, id_col, "_v")
 

@@ -250,12 +250,29 @@ def _parquet_dir_rows(path: str) -> int:
     return total
 
 
+def _stages_root(out: str) -> str:
+    """Stage directory for a pipeline writing to `out` — a SIBLING of
+    the output dir, never inside it: the final step writes output.path
+    with mode=overwrite, which deletes the whole directory, and that
+    must not destroy the stage it is reading from (or the manifest)."""
+    return out.rstrip("/\\") + "_stages"
+
+
+def _write_json_atomic(path: str, payload: dict) -> None:
+    import uuid
+
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2)
+    os.replace(tmp, path)
+
+
 def run_textpipe(spark: SparkSession, cfg: dict) -> dict:
     """Run the configured pipeline; write parquet to output.path plus a
     report.json with per-step row counts.  Returns the report dict.
 
     STAGE-MATERIALIZED (round-3 VERDICT #2): each step's output is
-    written to a scratch parquet dir and re-read, so (a) step k+1's
+    written to a parquet stage dir and re-read, so (a) step k+1's
     plan starts from a fresh scan — step k's work (a minhash funnel, a
     decontamination join) executes exactly ONCE, never re-run by a
     downstream action — and (b) the per-step row counts come from the
@@ -263,38 +280,87 @@ def run_textpipe(spark: SparkSession, cfg: dict) -> dict:
     The old shape (one lazy chain + df.count() per step) re-executed
     steps 1..k for every count: O(steps^2) total work on what is
     supposed to be the 100 TB surface.  The write is proportional to
-    each step's OUTPUT (monotone shrinking for filters), which is also
-    exactly what a resumable cluster run wants durable anyway; the last
-    step writes straight to output.path (no extra copy)."""
-    df = spark.read.parquet(cfg["input"]["documents"])
-    report: dict = {"steps": [], "rows_in": df.count()}
+    each step's OUTPUT (monotone shrinking for filters); the last
+    step writes straight to output.path (no extra copy).
+
+    RESUMABLE (round-4 VERDICT #6, mirroring run_tiles resume): stages
+    persist under `<output.path>_stages/` with an atomically-updated
+    step manifest recording each completed step's config fingerprint
+    and row count.  A re-run after a crash at step k+1 verifies the
+    longest manifest prefix that still matches the config (fingerprint
+    per step, input path, and the stage's _SUCCESS marker), restarts
+    from the last completed stage's parquet, and executes ONLY the
+    remaining steps — a 100 TB pipeline that dies at step 7 of 9 no
+    longer restarts from zero.  Changing the config (or input)
+    invalidates exactly the steps from the first difference onward.
+    On success the stage dirs are removed unless output.keep_stages is
+    true; on failure they are kept for the resume."""
+    in_path = cfg["input"]["documents"]
     steps = cfg.get("steps", [])
     out = cfg["output"]["path"]
-    from .scratch import fresh_scratch_dir
+    stages = _stages_root(out)
+    man_path = os.path.join(stages, "_manifest.json")
+    fps = [json.dumps(s, sort_keys=True) for s in steps]
+    dests = [
+        out if k == len(steps) - 1
+        else os.path.join(stages, f"step_{k:02d}_{s['op']}")
+        for k, s in enumerate(steps)
+    ]
 
-    stage_root = fresh_scratch_dir("textpipe")
-    try:
-        for k, step in enumerate(steps):
-            df = _apply_step(spark, df, step)
-            dest = (
-                out if k == len(steps) - 1
-                else os.path.join(stage_root, f"step_{k:02d}_{step['op']}")
-            )
-            df.write.mode("overwrite").parquet(dest)
-            report["steps"].append(
-                {"op": step["op"], "rows": _parquet_dir_rows(dest)}
-            )
-            df = spark.read.parquet(dest)
-        if not steps:
-            df.write.mode("overwrite").parquet(out)
-        report["rows_out"] = _parquet_dir_rows(out)
-        # underscore prefix: Spark/Hadoop file indexes ignore _-files
-        # (like _SUCCESS), so the report can live inside the dataset
-        # directory
-        with open(os.path.join(out, "_report.json"), "w") as f:
-            json.dump(report, f, indent=2)
-    finally:
+    # -- resume: longest valid completed prefix from the manifest ---------
+    man: dict | None = None
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            man = json.load(f)
+        if man.get("input") != in_path:
+            man = None
+    done: list[dict] = []
+    if man is not None:
+        for k, e in enumerate(man.get("steps", [])):
+            if (k >= len(steps) or e.get("fp") != fps[k]
+                    or not os.path.exists(
+                        os.path.join(dests[k], "_SUCCESS"))):
+                break
+            done.append(e)
+
+    if done:
+        rows_in = int(man["rows_in"])
+        df = (None if len(done) == len(steps)
+              else spark.read.parquet(dests[len(done) - 1]))
+    else:
+        df = spark.read.parquet(in_path)
+        rows_in = df.count()
+
+    report: dict = {"steps": [], "rows_in": rows_in}
+    man_out = {"input": in_path, "rows_in": rows_in,
+               "steps": [dict(e) for e in done]}
+    for e in done:
+        report["steps"].append({"op": e["op"], "rows": e["rows"]})
+
+    for k in range(len(done), len(steps)):
+        df = _apply_step(spark, df, steps[k])
+        os.makedirs(stages, exist_ok=True)
+        df.write.mode("overwrite").parquet(dests[k])
+        rows = _parquet_dir_rows(dests[k])
+        report["steps"].append({"op": steps[k]["op"], "rows": rows})
+        # manifest append AFTER the stage write: the atomic manifest
+        # swap is the step's commit point (a half-written stage is
+        # simply overwritten on the next run)
+        man_out["steps"].append({"op": steps[k]["op"], "fp": fps[k],
+                                 "rows": rows})
+        _write_json_atomic(man_path, man_out)
+        df = spark.read.parquet(dests[k])
+
+    if not steps:
+        df.write.mode("overwrite").parquet(out)
+    report["rows_out"] = _parquet_dir_rows(out)
+    # underscore prefix: Spark/Hadoop file indexes ignore _-files
+    # (like _SUCCESS), so the report can live inside the dataset
+    # directory
+    with open(os.path.join(out, "_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    if not cfg["output"].get("keep_stages", False):
         import shutil
 
-        shutil.rmtree(stage_root, ignore_errors=True)
+        shutil.rmtree(stages, ignore_errors=True)
     return report

@@ -323,3 +323,90 @@ def test_textpipe_scrub_pii_step(spark, tmp_path):
     assert list(out["text"]) == ["mail me: <EMAIL>", "clean text only"]
     assert list(out["n_email"]) == [1, 0]
     assert list(out["lang"]) == ["en", "en"]
+
+
+def test_textpipe_resumes_after_crash(spark, tmp_path):
+    """Round-4 VERDICT #6: a pipeline that dies at step k+1 must NOT
+    restart from zero — stages persist under <out>_stages with a step
+    manifest, and a re-run executes only the remaining steps, yielding
+    a report and output identical to an uninterrupted run."""
+    import pandas as pd
+
+    from batch3dfier_spark import textpipe
+
+    calls = {"a": 0, "b": 0}
+    fail = {"b": True}
+
+    def op_a(spark_, df, step):
+        calls["a"] += 1
+        return df.where("doc_id < 400")
+
+    def op_b(spark_, df, step):
+        if fail["b"]:
+            raise RuntimeError("injected crash at step 2")
+        calls["b"] += 1
+        return df.where("doc_id < 300")
+
+    textpipe.CUSTOM_OPS["op_a"] = op_a
+    textpipe.CUSTOM_OPS["op_b"] = op_b
+    try:
+        out = str(tmp_path / "out")
+        cfg = {
+            "input": {"documents": f"{SF}/documents.parquet"},
+            "output": {"path": out},
+            "steps": [
+                {"op": "op_a"},
+                {"op": "op_b"},
+                {"op": "hash_sample", "fraction": 0.5, "seed": "s"},
+            ],
+        }
+        with pytest.raises(RuntimeError, match="injected crash"):
+            textpipe.run_textpipe(spark, cfg)
+        # step 0's stage + manifest survived the crash
+        stages = out + "_stages"
+        with open(os.path.join(stages, "_manifest.json")) as f:
+            man = json.load(f)
+        assert [e["op"] for e in man["steps"]] == ["op_a"]
+
+        # resume: only steps 1.. execute
+        fail["b"] = False
+        report = textpipe.run_textpipe(spark, cfg)
+        assert calls["a"] == 1, "completed step 0 was re-executed"
+        assert calls["b"] == 1
+        assert [s["op"] for s in report["steps"]] == [
+            "op_a", "op_b", "hash_sample"]
+        assert not os.path.exists(stages)  # cleaned on success
+
+        # identical to an uninterrupted run on a fresh output
+        out2 = str(tmp_path / "out2")
+        cfg2 = dict(cfg, output={"path": out2, "keep_stages": True})
+        report2 = textpipe.run_textpipe(spark, cfg2)
+        assert report["steps"] == report2["steps"]
+        assert report["rows_in"] == report2["rows_in"]
+        assert report["rows_out"] == report2["rows_out"]
+        a = (spark.read.parquet(out).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (spark.read.parquet(out2).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                      b[sorted(b.columns)])
+        # keep_stages=True retains the stage dirs + manifest
+        assert os.path.exists(os.path.join(out2 + "_stages",
+                                           "_manifest.json"))
+
+        # a config change invalidates from the first differing step:
+        # re-running out2's pipeline with a changed step-1 config
+        # re-executes op_b but still reuses step 0's stage
+        calls_before = dict(calls)
+        cfg3 = dict(cfg2, steps=[
+            {"op": "op_a"},
+            {"op": "op_b", "tag": "changed"},
+            {"op": "hash_sample", "fraction": 0.5, "seed": "s"},
+        ])
+        textpipe.run_textpipe(spark, cfg3)
+        assert calls["a"] == calls_before["a"], (
+            "unchanged step 0 was re-executed on config change")
+        assert calls["b"] == calls_before["b"] + 1
+    finally:
+        del textpipe.CUSTOM_OPS["op_a"]
+        del textpipe.CUSTOM_OPS["op_b"]
