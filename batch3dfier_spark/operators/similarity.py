@@ -33,6 +33,8 @@ __all__ = [
     "hyperplane_signatures",
     "ivf_build",
     "ivf_topk",
+    "ivf_write_index",
+    "ivf_load_centroids",
     "ivf_seed_centroids",
     "ivf_topk_frozen",
 ]
@@ -487,8 +489,63 @@ def ivf_build(
     return C, _assign_centroids(q, C, id_col, "_v")
 
 
-def ivf_topk(
+def ivf_write_index(
     embeddings: DataFrame,
+    dim: int,
+    index_root: str,
+    n_centroids: int = 64,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Build the IVF coarse quantizer (ivf_build) and PERSIST the index
+    as the durable 100 TB layout: the inverted lists — (id, vec, cid)
+    rows — written parquet PARTITIONED BY cid under
+    `<index_root>/lists/`, plus the centroid matrix as
+    `<index_root>/centroids.json`.
+
+    cid partition directories are the scan-pruning layout for the IVF
+    probe shape (`cid IN (<probed set>)` — Catalyst drops every other
+    directory at PLANNING time, before any file is opened; the same
+    machinery as sources/pages.ingest_pages_cells, asserted
+    files-touched in tests).  The candidate VECTORS live in the lists
+    too, so a probe never rescans the embeddings table: it reads only
+    the probed nprobe/n_centroids fraction of the index.
+    repartition(cid) before the write keeps one file per cid per
+    shuffle wave instead of tasks x cids small files.  Pay the one
+    clustering shuffle at build time, never again — the ANN analog of
+    the reference keeping its GiST-indexed centroid table permanently
+    materialized (footprints.py:93-150).  Returns the centroids."""
+    import json
+    import os
+
+    C, assigned = ivf_build(embeddings, dim, n_centroids, iters=iters,
+                            id_col=id_col, vec_col=vec_col)
+    lists = (
+        embeddings.select(id_col, vec_col)
+        .join(assigned, id_col)
+        .repartition(F.col("cid"))
+    )
+    lists.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(index_root, "lists")
+    )
+    with open(os.path.join(index_root, "centroids.json"), "w") as f:
+        json.dump({"dim": dim, "n_centroids": int(C.shape[0]),
+                   "id_col": id_col, "vec_col": vec_col,
+                   "centroids": C.tolist()}, f)
+    return C
+
+
+def ivf_load_centroids(index_root: str) -> np.ndarray:
+    import json
+    import os
+
+    with open(os.path.join(index_root, "centroids.json")) as f:
+        return np.asarray(json.load(f)["centroids"], dtype=np.float64)
+
+
+def ivf_topk(
+    embeddings: DataFrame | None,
     queries: DataFrame,
     dim: int,
     k: int = 5,
@@ -497,38 +554,72 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: tuple[np.ndarray, DataFrame] | None = None,
+    index_table: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k cosine: candidates = vectors assigned to
     each query's `nprobe` nearest centroids (inverted lists selected by
     an equi-join on cid — the classic IVF probe); exact cosine
     re-scoring + ranking window on candidates only.
+    `nprobe/n_centroids` trades recall for the fraction of the corpus
+    scanned — with the defaults each query scores ~12.5% of vectors,
+    vs 100% for cosine_topk.
 
-    At 100 TB the assignments table is the durable index (write it
-    bucketed by cid: probes become pruned scans); `nprobe/n_centroids`
-    trades recall for the fraction of the corpus scanned — with the
-    defaults each query scores ~nprobe/n_centroids = 12.5% of vectors,
-    vs 100% for cosine_topk."""
-    C, assigned = (
-        index
-        if index is not None
-        else ivf_build(embeddings, dim, n_centroids, iters=3,
-                       id_col=id_col, vec_col=vec_col)
-    )
-    q_dbl = queries.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    probes = _probe_centroids(q_dbl, C, nprobe, id_col, "_v")
-    cand_ids = (
-        assigned.withColumnRenamed(id_col, "cand_id")
-        .join(F.broadcast(probes), "cid")
-        .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id")
-    )
-    cand = embeddings.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).cast("array<double>").alias("cand_vec"),
-    )
+    index_table (the 100 TB path) probes a PERSISTED index written by
+    ivf_write_index: the probed cids (<= n_centroids ints, small by
+    construction) become a partition-pruning `cid IN (...)` predicate
+    on the cid-partitioned lists, so the scan plans only the probed
+    directories and the candidate vectors come from the index itself —
+    `embeddings` may be None and is never rescanned.  Without it the
+    index is built in-session (ivf_build) or taken from `index`."""
+    if index_table is not None:
+        import os
+
+        spark = queries.sparkSession
+        C = ivf_load_centroids(index_table)
+        lists = spark.read.parquet(os.path.join(index_table, "lists"))
+        q_dbl = queries.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        probes = _probe_centroids(q_dbl, C, nprobe, id_col, "_v")
+        # <= n_centroids ints by construction — the driver-side list is
+        # what turns the probe into a PLANNING-time partition prune
+        cids = sorted(
+            int(r[0]) for r in probes.select("cid").distinct().collect()
+        )
+        pruned = lists.where(F.col("cid").isin(cids))
+        cand_ids = (
+            pruned.select(F.col(id_col).alias("cand_id"), "cid")
+            .join(F.broadcast(probes), "cid")
+            .where(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id")
+        )
+        cand = pruned.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).cast("array<double>").alias("cand_vec"),
+        )
+    else:
+        C, assigned = (
+            index
+            if index is not None
+            else ivf_build(embeddings, dim, n_centroids, iters=3,
+                           id_col=id_col, vec_col=vec_col)
+        )
+        q_dbl = queries.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        probes = _probe_centroids(q_dbl, C, nprobe, id_col, "_v")
+        cand_ids = (
+            assigned.withColumnRenamed(id_col, "cand_id")
+            .join(F.broadcast(probes), "cid")
+            .where(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id")
+        )
+        cand = embeddings.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).cast("array<double>").alias("cand_vec"),
+        )
     qv = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),

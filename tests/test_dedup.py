@@ -700,3 +700,55 @@ def test_clusters_converge_within_oracle_unroll(spark):
     m = capped.merge(free, on="id", suffixes=("_8", "_conv"))
     assert len(m) == len(capped) == len(free)
     assert (m["component_8"] == m["component_conv"]).all()
+
+
+def test_clusters_scale_chains_and_stars_round_count(spark):
+    """Round-4 VERDICT #9: the O(log diameter) claim of
+    connected_components, MEASURED on a 1e5-edge synthetic graph —
+    50 chains of 1000 nodes (diameter 999, the pointer-jumping stress)
+    plus 50 stars of 1001 leaves (diameter 2, the skew stress).
+    Pointer jumping roughly doubles reach per round, so a
+    diameter-999 chain must converge in ~log2(999)+const rounds
+    (measured: 10 incl. the convergence-proof round), never the ~500
+    of plain min-propagation; the whole job must finish in minutes,
+    not hours."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from batch3dfier_spark.operators.dedup import connected_components
+
+    # chains: nodes c*1000 + j (j<1000), edges (n, n+1) -> 49_950 edges
+    chains = spark.range(50 * 999).select(
+        ((F.col("id") / 999).cast("long") * 1000
+         + F.col("id") % 999).alias("id_a"),
+    ).withColumn("id_b", F.col("id_a") + 1)
+    # stars: hub h = 100_000 + s*1100, leaves h+1..h+1001 -> 50_050 edges
+    stars = spark.range(50 * 1001).select(
+        (F.lit(100_000)
+         + (F.col("id") / 1001).cast("long") * 1100).alias("id_a"),
+        (F.lit(100_000) + (F.col("id") / 1001).cast("long") * 1100
+         + 1 + F.col("id") % 1001).alias("id_b"),
+    )
+    pairs = chains.unionByName(stars)
+    assert pairs.count() == 100_000
+
+    stats: dict = {}
+    t0 = time.time()
+    labels = connected_components(pairs, stats=stats).toPandas()
+    wall = time.time() - t0
+
+    # every chain collapses to its min id, every star to its hub
+    labels["expected"] = [
+        (i // 1000) * 1000 if i < 100_000
+        else 100_000 + ((i - 100_000) // 1100) * 1100
+        for i in labels["id"]
+    ]
+    assert (labels["component"] == labels["expected"]).all()
+    assert len(labels) == 50 * 1000 + 50 * 1002
+
+    # the measured claim: log2(999) ~= 10 reach-doubling rounds is the
+    # ceiling; plain propagation would need ~500.  +1 convergence-proof
+    # round, small slack for compression phase alignment
+    assert stats["rounds"] <= 13, stats
+    assert wall < 300, f"1e5-edge label propagation took {wall:.0f}s"
