@@ -188,6 +188,12 @@ def flagship_queries(spark, pages_path: str):
         ).repartition(64)
         knn_tiles(sample, idx, k=3, keep=("url",)).count()
         tiler.extent_filter(sample, EXTENT_SMALL).count()
+        # first run on a fresh cache: build the clustered geo table once
+        # (untimed) so the downstream warm-ups can read it; the timed
+        # bench_ingest then measures the WARM rewrite, consistent with
+        # the min-of-N warm-throughput protocol
+        if not os.path.exists(os.path.join(geo_path, "_SUCCESS")):
+            ingest_pages(spark, pages_path, geo_path, idx, REF_TERRITORY)
         # warm the dispatch path too (grouped-map workers + storage
         # commit code): bench_dispatch measures WARM per-tile dispatch
         # throughput, so its first-run worker spawn must not leak into
@@ -239,6 +245,21 @@ def run_bench(cores: int, sf_dir: str, include_sf_queries: bool = True) -> dict:
 
     timings: dict[str, float] = {}
     meta: dict[str, dict] = {}
+    samples: dict[str, list[float]] = {}
+    # per-run per-query evidence (round-4 VERDICT #2): N_RUNS timed
+    # repetitions of EVERY query recorded as arrays in the JSON, so a
+    # regression is attributable per query from the artifact alone
+    # instead of trusting prose bands; `queries` stays the min-of-N.
+    n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "5"))
+
+    def loadavg() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except OSError:
+            return -1.0
+
+    load_start = loadavg()
 
     fq = flagship_queries(spark, pages_path)
     # warm-up (untimed): JVM codegen, python workers, OS page cache,
@@ -251,22 +272,25 @@ def run_bench(cores: int, sf_dir: str, include_sf_queries: bool = True) -> dict:
     if warmup is not None:
         warmup()
 
-    def timed_min(build, reps: int = 2) -> tuple[float, int]:
+    def timed_min(name: str, build, reps: int = n_runs) -> tuple[float, int]:
         # min-of-N: this shared VM shows sporadic 3-10x interference
         # spikes on SINGLE runs (the same query at 1.9 s / 17.7 s
         # back-to-back); the min is the noise-robust estimator of warm
-        # engine throughput, consistent with BASELINE.md's protocol
+        # engine throughput, consistent with BASELINE.md's protocol.
+        # Every rep is recorded in `samples` for the JSON artifact.
         best, n_rows = float("inf"), 0
+        arr: list[float] = []
         for _ in range(reps):
             t0 = time.time()
             n_rows = build().count()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            arr.append(round(dt, 3))
+            best = min(best, dt)
+        samples[name] = arr
         return best, n_rows
 
     for name, build in fq.items():
-        # dispatch drives the headline tiles/s metric: min-of-3 so one
-        # VM hiccup cannot sink the reported number (VERDICT #7)
-        dt, n_rows = timed_min(build, reps=3 if name == "bench_dispatch" else 2)
+        dt, n_rows = timed_min(name, build)
         timings[name] = round(dt, 3)
         meta[name] = {"rows": n_rows}
 
@@ -274,7 +298,7 @@ def run_bench(cores: int, sf_dir: str, include_sf_queries: bool = True) -> dict:
         import __spark_entry__ as entrymod
 
         for name, fn in entrymod.queries().items():
-            dt, n_rows = timed_min(lambda fn=fn: fn(spark, sf_dir))
+            dt, n_rows = timed_min(f"q_{name}", lambda fn=fn: fn(spark, sf_dir))
             timings[f"q_{name}"] = round(dt, 3)
             meta[f"q_{name}"] = {"rows": n_rows}
             # queries that persist intermediates (minhash funnel) must
@@ -289,6 +313,13 @@ def run_bench(cores: int, sf_dir: str, include_sf_queries: bool = True) -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "n_runs": n_runs,
+        "runs": samples,
+        "queries_median": {
+            k: sorted(v)[len(v) // 2] for k, v in samples.items()
+        },
+        "loadavg_start": load_start,
+        "loadavg_end": loadavg(),
         "sf": sf_dir,
         "cores": cores,
         "pages": PAGES_N,
