@@ -330,9 +330,11 @@ def scrub_pii(
     )
 
 
-def sql_scrub_pii(text: str = "text") -> str:
+def sql_scrub_pii(text: str = "text", from_sql: str = "documents") -> str:
     """DuckDB twin of scrub_pii: same patterns, same order, counts via
-    regexp_extract_all on the same intermediate rewrites."""
+    regexp_extract_all on the same intermediate rewrites.  `from_sql`
+    may be a table name or a parenthesized subquery exposing
+    (doc_id, {text})."""
     cur = f"COALESCE({text}, '')"
     count_cols = []
     for name, _java_pat, re2_pat, tok in PII_PATTERNS:
@@ -344,5 +346,5 @@ def sql_scrub_pii(text: str = "text") -> str:
     return (
         f"SELECT doc_id, {cur} AS {text}, "
         + ", ".join(count_cols)
-        + " FROM documents"
+        + f" FROM {from_sql}"
     )

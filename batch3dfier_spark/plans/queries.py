@@ -1055,6 +1055,110 @@ WHERE n > 0
 """
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota (operators/sampling.cap_per_key): keep at most
+    20 docs per domain, the smallest-hash-draw 20 — the cap every web
+    corpus applies so giant hosts can't dominate the mixture.  The
+    domain is derived skewed on purpose (70% of docs land on one hot
+    host) so the query exercises the skew-safe two-level selection:
+    count → candidate pre-filter → bounded ~cap-row window, never a
+    window over the raw hot group."""
+    from ..operators.sampling import cap_per_key
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "domain",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("bulk.example.com"))
+        .otherwise(F.col("source")),
+    ).select("doc_id", "domain", "lang", "n_chars")
+    return cap_per_key(
+        docs, cap=20, key_col="domain", row_key_col="doc_id", seed="dc1"
+    )
+
+
+SQL_DOMAIN_CAP = f"""
+SELECT doc_id, domain, lang, n_chars FROM (
+  SELECT doc_id, domain, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY domain
+                            ORDER BY {_sql_hex15("doc_id", "dc1")}, doc_id)
+           AS rn
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 10 < 7 THEN 'bulk.example.com'
+                    ELSE source END AS domain,
+               lang, n_chars
+        FROM documents))
+WHERE rn <= 20
+"""
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/textstats.scrub_pii) as a contract
+    query: the shared fixture contains no PII, so both engine and
+    oracle first INJECT deterministic doc_id-derived emails / IPv4s /
+    phone numbers into the text (identical format_string/printf
+    expressions), then scrub.  The value hash covers the full scrubbed
+    text byte-for-byte plus the per-category counts, so a divergence in
+    pattern semantics (the round-4 Java-\\b-vs-RE2 surface) fails the
+    gate rather than hiding in an identity transform."""
+    from ..operators.textstats import scrub_pii
+
+    d = F.col("doc_id")
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.format_string(
+                    " contact user%d@mail%d.example.com", d, F.pmod(d, F.lit(7))
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.format_string(
+                    " from %d.%d.%d.%d",
+                    F.pmod(d, F.lit(223)) + 1,
+                    F.pmod(d * 7, F.lit(256)),
+                    F.pmod(d * 13, F.lit(256)),
+                    F.pmod(d, F.lit(254)) + 1,
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.format_string(
+                    " call +1 (%03d) %03d-%04d",
+                    F.pmod(d, F.lit(900)) + 100,
+                    F.pmod(d * 3, F.lit(900)) + 100,
+                    F.pmod(d * 17, F.lit(10000)),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(injected)
+
+
+def _sql_pii_injected() -> str:
+    """DuckDB twin of q_scrub_pii's injection subquery."""
+    return """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN printf(' contact user%d@mail%d.example.com',
+                             doc_id, doc_id % 7)
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN printf(' from %d.%d.%d.%d',
+                             doc_id % 223 + 1, (doc_id * 7) % 256,
+                             (doc_id * 13) % 256, doc_id % 254 + 1)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN printf(' call +1 (%03d) %03d-%04d',
+                             doc_id % 900 + 100, (doc_id * 3) % 900 + 100,
+                             (doc_id * 17) % 10000)
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/dedup.decontaminate): docs
     with doc_id % 50 == 0 play the eval suite; every other doc sharing
@@ -1726,6 +1830,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
+    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+    "scrub_pii": (q_scrub_pii, None),  # sql built lazily below
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_window_stream": (q_events_window_stream, SQL_EVENTS_WINDOW),
@@ -1740,6 +1846,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bag3d_valid": (q_bag3d_valid, _sql_bag3d(valid_only=True)),
 }
 REGISTRY["textstats"] = (q_textstats, _sql_textstats())
+
+
+def _sql_scrub_pii_q() -> str:
+    from ..operators.textstats import sql_scrub_pii
+
+    return sql_scrub_pii(from_sql=f"({_sql_pii_injected()})")
+
+
+REGISTRY["scrub_pii"] = (q_scrub_pii, _sql_scrub_pii_q())
 REGISTRY["ann_lsh"] = (q_ann_lsh, _sql_ann_lsh())
 REGISTRY["ann_ivf"] = (q_ann_ivf, _sql_ann_ivf())
 REGISTRY["dedup_minhash"] = (q_dedup_minhash, _sql_dedup_minhash())

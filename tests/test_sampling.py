@@ -153,6 +153,93 @@ def test_weighted_mixture_matches_duckdb(spark):
     assert (zh["count"] >= 2).all() and (zh["count"] == zh["max"]).all()
 
 
+def test_domain_cap_matches_duckdb(spark):
+    """q_domain_cap (skew-safe cap_per_key over a deliberately hot
+    domain) == the plain ROW_NUMBER window oracle, and the quota
+    invariants hold: no domain exceeds the cap, under-cap domains are
+    kept whole."""
+    from batch3dfier_spark.plans.queries import SQL_DOMAIN_CAP, q_domain_cap
+
+    got = q_domain_cap(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = _oracle(SQL_DOMAIN_CAP).sort_values("doc_id").reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    per = got.groupby("domain").size()
+    assert per.max() <= 20
+    assert per["bulk.example.com"] == 20  # the hot domain really capped
+    # under-cap domains survive completely
+    base = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    base["domain"] = base["doc_id"].mod(10).lt(7).map(
+        {True: "bulk.example.com", False: None}
+    ).fillna(base["source"])
+    small = base.groupby("domain").size()
+    for dom, n in small.items():
+        if n <= 20:
+            assert per.get(dom, 0) == n
+
+
+def test_cap_per_key_exact_and_partition_independent(spark):
+    """cap_per_key == the window-rank reference on a synthetic skewed
+    frame (one key with 2000 rows, one with 3), under two different
+    partitionings, and the escalation guard path (absurd negative
+    margin => first threshold keeps nothing => the loop recovers and
+    the result is still exact)."""
+    import hashlib
+
+    from batch3dfier_spark.operators.sampling import cap_per_key
+
+    n_hot = 2000
+    pdf = pd.DataFrame({
+        "doc_id": range(n_hot + 3),
+        "key": ["hot"] * n_hot + ["cold"] * 3,
+    })
+
+    def draw(doc_id):
+        h = hashlib.sha256(f"{doc_id}cpk".encode()).hexdigest()
+        return int(h[:15], 16) / float(1 << 60)
+
+    pdf["_d"] = pdf["doc_id"].map(draw)
+    ref = (
+        pdf.sort_values(["key", "_d", "doc_id"])
+        .groupby("key").head(15)[["doc_id", "key"]]
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    for parts in (1, 16):
+        df = spark.createDataFrame(pdf[["doc_id", "key"]]).repartition(parts)
+        got = (
+            cap_per_key(df, cap=15, key_col="key", row_key_col="doc_id",
+                        seed="cpk")
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    # guard path: margin so wrong the first candidate filter is empty
+    got = (
+        cap_per_key(
+            spark.createDataFrame(pdf[["doc_id", "key"]]), cap=15,
+            key_col="key", row_key_col="doc_id", seed="cpk",
+            _margin=-1e12,
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_scrub_pii_contract_matches_duckdb(spark):
+    """The scrub_pii CONTRACT query (deterministic doc_id-derived PII
+    injected into the fixture text, then scrubbed) == its registry
+    oracle, and the injection actually produces matches of every
+    category (no identity-transform padding)."""
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    fn, sql = REGISTRY["scrub_pii"]
+    got = fn(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = _oracle(sql).sort_values("doc_id").reset_index(drop=True)
+    assert int(got["n_email"].sum()) >= len(got) // 4
+    assert int(got["n_ip"].sum()) >= len(got) // 5
+    assert int(got["n_phone"].sum()) >= len(got) // 6
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_scrub_pii_matches_duckdb(spark):
     """scrub_pii (chained JVM regexp_replace + split-based counts) ==
     the DuckDB twin replaying the same patterns in the same order —
