@@ -1159,6 +1159,129 @@ def _sql_pii_injected() -> str:
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.pack_sequences):
+    concatenate each uniform shard in doc_id order and cut every 512
+    tokens; each doc reports the (shard, seq_id, seq_off) it lands at
+    and whether it spans a cut.  One window over uniform shards — no
+    hot key can exist, so the window-partition skew hazard is absent by
+    construction."""
+    from ..operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        n_ctx=512, n_shards=8,
+    )
+
+
+def _sql_pack_sequences() -> str:
+    from ..operators.packing import sql_pack_sequences
+
+    return sql_pack_sequences(n_ctx=512, n_shards=8)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup
+    (operators/urltools): the fixture has no url column, so both
+    engine and oracle derive a deliberately messy deterministic URL
+    per doc (case-mixed scheme/host, default ports, unsorted + tracking
+    query params, fragments, trailing slashes), canonicalize, and keep
+    the lowest doc_id per canonical form.  doc_id%50 sites x doc_id%20
+    pages make distinct docs collide on the same canonical URL, so the
+    dedup is real, not an identity pass."""
+    from ..operators.urltools import url_dedup
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://WWW.Site")).otherwise(
+            F.lit("https://www.site")
+        ),
+        F.pmod(d, F.lit(50)).cast("string"),
+        F.lit(".Example.COM"),
+        F.when((d % 4 == 0) & (d % 2 == 0), F.lit(":80"))
+        .when((d % 4 == 1) & (d % 2 == 1), F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.format_string("/page%d", F.pmod(d, F.lit(20))),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("?b=2&a=1"))
+        .when(d % 5 == 1, F.lit("?a=1&b=2"))
+        .when(d % 5 == 2, F.lit("?a=1&utm_source=x&b=2"))
+        .when(d % 5 == 3, F.lit("?utm_campaign=z"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    urls = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return url_dedup(urls)
+
+
+def _sql_url_dedup() -> str:
+    from ..operators.urltools import sql_url_canonical
+
+    inj = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Site'
+              ELSE 'https://www.site' END
+         || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+         || CASE WHEN doc_id % 4 = 0 AND doc_id % 2 = 0 THEN ':80'
+                 WHEN doc_id % 4 = 1 AND doc_id % 2 = 1 THEN ':443'
+                 ELSE '' END
+         || printf('/page%d', doc_id % 20)
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '?b=2&a=1'
+                 WHEN doc_id % 5 = 1 THEN '?a=1&b=2'
+                 WHEN doc_id % 5 = 2 THEN '?a=1&utm_source=x&b=2'
+                 WHEN doc_id % 5 = 3 THEN '?utm_campaign=z'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END AS url
+  FROM documents
+"""
+    return f"""
+WITH urls AS ({inj}),
+canon AS (SELECT doc_id, url, {sql_url_canonical("url")} AS url_canon
+          FROM urls)
+SELECT c.url_canon, c.doc_id, c.url
+FROM canon c
+JOIN (SELECT url_canon, MIN(doc_id) AS doc_id
+      FROM canon GROUP BY url_canon) s
+  USING (url_canon, doc_id)
+"""
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span detection (operators/spans.duplicate_spans):
+    maximal word-6-gram runs shared verbatim by >= 2 documents — the
+    distributed exact-substring dedup of Lee et al., as n-gram
+    postings (hashed JVM-side) + islands-and-gaps merge.  The oracle
+    replays the pipeline on gram STRINGS, so a hash-green match also
+    certifies the xxhash64 posting shuffle introduced no collision on
+    this corpus."""
+    from ..operators.spans import duplicate_spans
+
+    out = duplicate_spans(
+        _docs(spark, sf_dir).select("doc_id", "text"), n=6, min_docs=2
+    )
+    return out.select(
+        "doc_id",
+        F.col("span_id").cast("bigint").alias("span_id"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.col("end_tok").cast("bigint").alias("end_tok"),
+        F.col("n_dup_grams").cast("bigint").alias("n_dup_grams"),
+    )
+
+
+def _sql_dup_spans() -> str:
+    from ..operators.spans import sql_duplicate_spans
+
+    inner = sql_duplicate_spans(n=6, min_docs=2)
+    return f"""
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(end_tok AS BIGINT) AS end_tok,
+       CAST(n_dup_grams AS BIGINT) AS n_dup_grams
+FROM ({inner})
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/dedup.decontaminate): docs
     with doc_id % 50 == 0 play the eval suite; every other doc sharing
@@ -1832,6 +1955,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "scrub_pii": (q_scrub_pii, None),  # sql built lazily below
+    "url_dedup": (q_url_dedup, None),  # sql built lazily below
+    "pack_sequences": (q_pack_sequences, None),  # sql built lazily below
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_window_stream": (q_events_window_stream, SQL_EVENTS_WINDOW),
@@ -1855,6 +1980,9 @@ def _sql_scrub_pii_q() -> str:
 
 
 REGISTRY["scrub_pii"] = (q_scrub_pii, _sql_scrub_pii_q())
+REGISTRY["url_dedup"] = (q_url_dedup, _sql_url_dedup())
+REGISTRY["pack_sequences"] = (q_pack_sequences, _sql_pack_sequences())
+REGISTRY["dup_spans"] = (q_dup_spans, _sql_dup_spans())
 REGISTRY["ann_lsh"] = (q_ann_lsh, _sql_ann_lsh())
 REGISTRY["ann_ivf"] = (q_ann_ivf, _sql_ann_ivf())
 REGISTRY["dedup_minhash"] = (q_dedup_minhash, _sql_dedup_minhash())

@@ -47,6 +47,17 @@ Config shape::
       - op: mixture
         weights: {zh: 2.5}
         seed: m1
+      - op: domain_cap                   # keep <= cap docs per domain
+        cap: 1000                        #   (skew-safe smallest-draw
+        key_col: source                  #   quota, sampling.cap_per_key)
+      - op: url_dedup                    # canonical-URL dedup (needs a
+        url_col: url                     #   url column; adds url_canon)
+      - op: pack_sequences               # GPT-style packing layout:
+        n_ctx: 2048                      #   adds shard/seq_id/seq_off/
+        n_shards: 64                     #   n_tokens/spans columns
+      - op: strip_dup_spans              # exact-substring dedup (Lee
+        n: 8                             #   et al.): remove token runs
+        min_docs: 2                      #   shared by >= min_docs docs
 """
 
 from __future__ import annotations
@@ -235,6 +246,41 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
         from .operators.textstats import add_textstats
 
         return add_textstats(df)
+    if op == "domain_cap":
+        from .operators.sampling import cap_per_key
+
+        return cap_per_key(
+            df, cap=int(step["cap"]),
+            key_col=step.get("key_col", "source"),
+            row_key_col=step.get("row_key_col", "doc_id"),
+            seed=str(step.get("seed", "")),
+        )
+    if op == "url_dedup":
+        from .operators.urltools import url_dedup
+
+        return url_dedup(
+            df, url_col=step.get("url_col", "url"),
+            id_col=step.get("id_col", "doc_id"),
+        )
+    if op == "pack_sequences":
+        from .operators.packing import pack_sequences
+
+        packed = pack_sequences(
+            df, n_ctx=int(step["n_ctx"]),
+            n_shards=int(step.get("n_shards", 64)),
+            text_col=step.get("text_col", "text"),
+            id_col=step.get("id_col", "doc_id"),
+        )
+        return df.join(packed, step.get("id_col", "doc_id"))
+    if op == "strip_dup_spans":
+        from .operators.spans import strip_duplicate_spans
+
+        return strip_duplicate_spans(
+            df, n=int(step.get("n", 8)),
+            min_docs=int(step.get("min_docs", 2)),
+            text_col=step.get("text_col", "text"),
+            id_col=step.get("id_col", "doc_id"),
+        )
     raise ValueError(f"unknown textpipe op: {op}")
 
 
