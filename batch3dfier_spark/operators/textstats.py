@@ -30,7 +30,7 @@ both).  The tricks that make that possible:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -38,6 +38,7 @@ __all__ = [
     "add_textstats",
     "repetition_stats",
     "scrub_pii",
+    "vocab_topk",
 ]
 
 # language marker words (tiny stopword lists; the n-gram-heuristic
@@ -348,3 +349,68 @@ def sql_scrub_pii(text: str = "text", from_sql: str = "documents") -> str:
         + ", ".join(count_cols)
         + f" FROM {from_sql}"
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: the k most frequent whitespace tokens with
+    their counts and 1-based rank — the input a tokenizer-training or
+    stopword-mining pass starts from.
+
+    Scale shape: explode to token granularity, groupBy token (partial
+    map-side counting absorbs hot tokens — 'the' combines within every
+    task before the shuffle), then a global top-k which Spark executes
+    as TakeOrderedAndProject: each partition keeps only its local top
+    k and the driver merges k-sized heaps — never a full sort of the
+    vocabulary.  Rank ties at the boundary are pinned by (freq DESC,
+    token ASC), so the result set is deterministic."""
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    return (
+        df.select(
+            F.explode(
+                F.when(
+                    F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+                    F.array().cast("array<string>"),
+                ).otherwise(toks)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
+        .withColumn(
+            # the global window here runs AFTER limit(k): its one
+            # partition holds exactly k rows, bounded by the argument,
+            # never by the corpus
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+            ).cast("bigint"),
+        )
+    )
+
+
+def sql_vocab_topk(k: int = 1000, text: str = "text",
+                   table: str = "documents") -> str:
+    """DuckDB twin of vocab_topk (same tokenizer, same tie order)."""
+    t = f"TRIM(COALESCE({text}, ''))"
+    return f"""
+WITH tok AS (
+  SELECT UNNEST(CASE WHEN LENGTH({t}) = 0 THEN CAST([] AS VARCHAR[])
+                     ELSE REGEXP_SPLIT_TO_ARRAY({t}, '\\s+') END) AS token
+  FROM {table}
+),
+freqs AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM tok GROUP BY token
+  ORDER BY freq DESC, token ASC
+  LIMIT {k}
+)
+SELECT token, freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS BIGINT)
+         AS rank
+FROM freqs
+"""

@@ -1180,6 +1180,25 @@ def _sql_pack_sequences() -> str:
     return sql_pack_sequences(n_ctx=512, n_shards=8)
 
 
+def q_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The writer half of packing (operators/packing.emit_sequences):
+    materialize each (shard, seq_id) training sequence as its
+    space-joined n_ctx-token text.  The value hash covers every token
+    of the packed corpus in order, so the layout math AND the
+    reassembly are both certified."""
+    from ..operators.packing import emit_sequences
+
+    return emit_sequences(
+        _docs(spark, sf_dir).select("doc_id", "text"), n_ctx=512, n_shards=8
+    )
+
+
+def _sql_pack_emit() -> str:
+    from ..operators.packing import sql_emit_sequences
+
+    return sql_emit_sequences(n_ctx=512, n_shards=8)
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + canonical-URL dedup
     (operators/urltools): the fixture has no url column, so both
@@ -1280,6 +1299,117 @@ SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
        CAST(n_dup_grams AS BIGINT) AS n_dup_grams
 FROM ({inner})
 """
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution as-of join (operators/asof.as_of_join):
+    every purchase event gains the latest click event of the same user
+    at-or-before the purchase timestamp — the union-and-window as-of
+    (one shuffle, pure JVM, no range-join pair blowup).  The oracle
+    replays the identical union + LAST_VALUE IGNORE NULLS window, not
+    DuckDB's ASOF JOIN, so tie-resolution is pinned to the same total
+    order in both engines."""
+    from ..operators.asof import as_of_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = as_of_join(
+        purchases, clicks, on="user_id",
+        ts_col="ts", right_id_col="event_id", right_cols=["value"],
+    )
+    # house determinism rule: timestamps leave contract queries as
+    # formatted strings (pandas ns-vs-us resolution never reaches the
+    # value hash)
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+        "event_id_r",
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("ts_r"),
+        "value_r",
+    )
+
+
+def _sql_asof_join() -> str:
+    from ..operators.asof import sql_as_of_join
+
+    inner = sql_as_of_join(
+        left_sql="SELECT event_id, user_id, ts, value FROM events "
+                 "WHERE event_type = 'purchase'",
+        right_sql="SELECT event_id, user_id, ts, value FROM events "
+                  "WHERE event_type = 'click'",
+        on="user_id",
+        left_cols=["event_id", "user_id", "ts", "value"],
+        ts_col="ts", right_id_col="event_id", right_cols=["value"],
+    )
+    return f"""
+SELECT event_id, user_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
+       event_id_r,
+       STRFTIME(ts_r, '%Y-%m-%d %H:%M:%S') AS ts_r, value_r
+FROM ({inner})
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (operators/incremental): corpus =
+    docs with doc_id % 3 != 0 registered as a text_sha-bucketed state
+    table; batch = the remaining third.  The fixture has no exact text
+    dups, so (url_dedup-style) every 5th doc's content is replaced by
+    a deterministic boilerplate string shared across doc_ids — those
+    collide with the corpus or within the batch and are rejected; the
+    rest are admitted.  Measures the real steady-state path: register
+    (one corpus shuffle) + increment (batch-only shuffle, bucketed
+    anti-join)."""
+    from ..operators.incremental import dedup_increment, register_corpus
+
+    d = F.col("doc_id")
+    content = F.when(
+        d % 5 == 0, F.format_string("boilerplate %d", F.pmod(d, F.lit(70)))
+    ).otherwise(F.col("text"))
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("text"))
+    table = "b3d_inc_contract"
+    register_corpus(
+        spark, docs.where(d % 3 != 0), table, n_buckets=8
+    )
+    return dedup_increment(spark, docs.where(d % 3 == 0), table)
+
+
+def _sql_dedup_incremental() -> str:
+    from ..operators.incremental import sql_dedup_increment
+
+    derived = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN printf('boilerplate %d', doc_id % 70)
+              ELSE text END AS text
+  FROM documents
+"""
+    return sql_dedup_increment(
+        batch_sql=f"SELECT * FROM ({derived}) WHERE doc_id % 3 = 0",
+        corpus_sql=f"SELECT * FROM ({derived}) WHERE doc_id % 3 <> 0",
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (operators/textstats.vocab_topk): the 200
+    most frequent whitespace tokens with counts and ranks —
+    TakeOrderedAndProject top-k, never a full vocabulary sort; ties at
+    the boundary pinned by (freq DESC, token ASC)."""
+    from ..operators.textstats import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir).select("text"), k=200)
+
+
+def _sql_vocab_topk() -> str:
+    from ..operators.textstats import sql_vocab_topk
+
+    return sql_vocab_topk(k=200)
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1983,6 +2113,10 @@ REGISTRY["scrub_pii"] = (q_scrub_pii, _sql_scrub_pii_q())
 REGISTRY["url_dedup"] = (q_url_dedup, _sql_url_dedup())
 REGISTRY["pack_sequences"] = (q_pack_sequences, _sql_pack_sequences())
 REGISTRY["dup_spans"] = (q_dup_spans, _sql_dup_spans())
+REGISTRY["asof_join"] = (q_asof_join, _sql_asof_join())
+REGISTRY["pack_emit"] = (q_pack_emit, _sql_pack_emit())
+REGISTRY["dedup_incremental"] = (q_dedup_incremental, _sql_dedup_incremental())
+REGISTRY["vocab_topk"] = (q_vocab_topk, _sql_vocab_topk())
 REGISTRY["ann_lsh"] = (q_ann_lsh, _sql_ann_lsh())
 REGISTRY["ann_ivf"] = (q_ann_ivf, _sql_ann_ivf())
 REGISTRY["dedup_minhash"] = (q_dedup_minhash, _sql_dedup_minhash())

@@ -1,0 +1,133 @@
+"""Incremental corpus dedup: admit-only-new semantics across
+increments, corpus-shuffle-free anti-join on the bucketed state, and
+the contract query vs its ANSI oracle."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+TABLE = "inc_corpus_test"
+
+
+@pytest.fixture()
+def corpus_table(spark):
+    yield TABLE
+    spark.sql(f"DROP TABLE IF EXISTS {TABLE}")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+
+def test_increment_admits_only_new(spark, corpus_table):
+    from batch3dfier_spark.operators.incremental import (
+        append_increment,
+        dedup_increment,
+        register_corpus,
+    )
+
+    register_corpus(
+        spark, _df(spark, [(1, "alpha"), (2, "beta")]), corpus_table,
+        n_buckets=4,
+    )
+    batch = _df(spark, [
+        (10, "alpha"),   # already in corpus
+        (11, "gamma"),   # new
+        (12, "gamma"),   # intra-batch dup of 11 -> min id keeps
+        (13, "delta"),   # new
+    ])
+    admitted = dedup_increment(spark, batch, corpus_table)
+    got = admitted.toPandas().sort_values("doc_id")
+    assert list(got["doc_id"]) == [11, 13]
+    assert set(got.columns) == {"doc_id", "text", "text_sha"}
+
+    # fold in, then replay the same batch: nothing is new anymore
+    append_increment(spark, admitted, corpus_table, n_buckets=4)
+    again = dedup_increment(spark, batch, corpus_table)
+    assert again.count() == 0
+    # a later batch only collides with what was actually admitted
+    nxt = dedup_increment(
+        spark, _df(spark, [(20, "gamma"), (21, "epsilon")]), corpus_table
+    )
+    assert list(nxt.toPandas()["doc_id"]) == [21]
+
+
+def test_corpus_side_never_shuffles(spark, corpus_table):
+    """The whole point of the bucketed state: per-increment network is
+    O(|batch|).  The anti-join plan must shuffle ONLY the probe side —
+    exactly one hash Exchange, and a bucketed corpus scan."""
+    from batch3dfier_spark.operators.incremental import register_corpus
+
+    register_corpus(
+        spark,
+        _df(spark, [(i, f"doc {i}") for i in range(100)]),
+        corpus_table,
+        n_buckets=4,
+    )
+    probe = _df(spark, [(1000 + i, f"probe {i}") for i in range(10)]).select(
+        F.sha2("text", 256).alias("text_sha")
+    )
+    joined = probe.join(
+        spark.table(corpus_table).select("text_sha").hint("merge"),
+        "text_sha",
+        "left_anti",
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    # exactly one hash Exchange: the probe side, repartitioned to the
+    # bucket count; the corpus scan feeds the sort-merge join directly
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert joined.count() == 10
+
+
+def test_contract_query_matches_oracle(spark):
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    fn, sql = REGISTRY["dedup_incremental"]
+    got = fn(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    exp = con.sql(sql).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values("doc_id").reset_index(drop=True),
+        exp[cols].sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+    # the increment admits some rows and rejects others
+    n_batch = con.sql(
+        "SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0"
+    ).fetchone()[0]
+    assert 0 < len(got) < n_batch
+
+
+def test_vocab_topk_matches_oracle(spark):
+    """(Placed here to avoid another Spark-session module.)  vocab_topk
+    == its DuckDB twin including boundary tie order."""
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    fn, sql = REGISTRY["vocab_topk"]
+    got = fn(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    exp = con.sql(sql).df()
+    # the sf0.001 fixture vocabulary is smaller than k; the whole
+    # (deterministically ordered) vocabulary comes back
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got.sort_values("rank").reset_index(drop=True),
+        exp.sort_values("rank").reset_index(drop=True),
+        check_dtype=False,
+    )
+    # frequencies are non-increasing with rank
+    assert (got.sort_values("rank")["freq"].diff().dropna() <= 0).all()

@@ -70,3 +70,76 @@ def test_pack_sequences_partition_independent(spark):
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_emit_sequences_hand_checked(spark):
+    """The writer really cuts every n_ctx tokens: distinct per-token
+    words let us check the exact text of each sequence."""
+    from batch3dfier_spark.operators.packing import emit_sequences
+
+    # one shard; docs of 3, 4, 5 tokens; n_ctx=4 -> cuts at 4 and 8
+    toks = [f"t{i}" for i in range(12)]
+    pdf = pd.DataFrame({
+        "doc_id": [0, 8, 16],
+        "text": [" ".join(toks[0:3]), " ".join(toks[3:7]),
+                 " ".join(toks[7:12])],
+    })
+    out = (
+        emit_sequences(spark.createDataFrame(pdf), n_ctx=4, n_shards=8)
+        .toPandas().sort_values("seq_id").reset_index(drop=True)
+    )
+    assert list(out["shard"]) == [0, 0, 0]
+    assert list(out["seq_text"]) == [
+        "t0 t1 t2 t3", "t4 t5 t6 t7", "t8 t9 t10 t11",
+    ]
+    assert list(out["n_tokens"]) == [4, 4, 4]
+
+
+def test_emit_agrees_with_layout(spark):
+    """Writer and layout are two views of one packing: every doc's
+    (seq_id, seq_off) from pack_sequences points at the exact position
+    of its first token in the emitted sequence text."""
+    from batch3dfier_spark.operators.packing import (
+        emit_sequences,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    layout = pack_sequences(docs, n_ctx=64, n_shards=4).toPandas()
+    emitted = (
+        emit_sequences(docs, n_ctx=64, n_shards=4)
+        .toPandas().set_index(["shard", "seq_id"])
+    )
+    texts = docs.toPandas().set_index("doc_id")["text"].to_dict()
+    checked = 0
+    for row in layout.itertuples():
+        first_tok = texts[row.doc_id].strip().split()[0]
+        seq_toks = emitted.loc[(row.shard, row.seq_id), "seq_text"].split(" ")
+        assert seq_toks[row.seq_off] == first_tok
+        checked += 1
+    assert checked == len(layout) > 0
+
+
+def test_emit_sequences_matches_duckdb(spark):
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    fn, sql = REGISTRY["pack_emit"]
+    got = fn(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    exp = con.sql(sql).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    key = ["shard", "seq_id"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(key).reset_index(drop=True),
+        exp[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # every full sequence holds exactly n_ctx tokens
+    full = got.groupby("shard")["seq_id"].transform("max") > got["seq_id"]
+    assert (got.loc[full, "n_tokens"] == 512).all()
