@@ -1232,3 +1232,50 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
     return labels
+
+
+def cluster_survivors(
+    labels: DataFrame,
+    docs: DataFrame,
+    score,
+    id_col: str = "doc_id",
+    keep_col: str = "is_kept",
+) -> DataFrame:
+    """Survivor-policy selection over near-dup clusters: given the
+    (id, component) labels from connected_components, keep the BEST
+    document of each cluster by `score` (a Column over `docs`) instead
+    of the min-id default — the RefinedWeb/C4 practice of retaining
+    the longest / highest-quality copy of a duplicated page.  Ties are
+    broken by LOWEST id, so the choice is total and deterministic.
+
+    Returns `docs` + component + the score + `keep_col`.  Docs in no
+    cluster (no near-dup edges touch them) are their own component and
+    are kept.
+
+    Shape: one equi-join docs⋈labels on id (labels side is the small
+    side per near-dup funnel contract — broadcastable), then a
+    groupBy(component).max(struct) whose partial aggregation combines
+    map-side; like every survivor rule in this engine there is no
+    window over raw cluster members, so a giant boilerplate cluster
+    cannot straggle a single task."""
+    scored = docs.withColumn("_score", score)
+    lbl = labels.select(
+        F.col("id").alias(id_col), F.col("component").alias("component")
+    )
+    j = scored.join(lbl, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    # argmax by (score DESC, id ASC) == max of (score, -id)
+    best = j.groupBy("component").agg(
+        F.max(F.struct(F.col("_score"), (-F.col(id_col)).alias("_nid")))
+        .alias("_best")
+    ).select(
+        "component",
+        (-F.col("_best._nid")).alias("_best_id"),
+    )
+    return (
+        j.join(best, "component")
+        .withColumn(keep_col, F.col(id_col) == F.col("_best_id"))
+        .drop("_best_id")
+        .withColumnRenamed("_score", "score")
+    )

@@ -1396,6 +1396,61 @@ def _sql_dedup_incremental() -> str:
     )
 
 
+def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-policy dedup (operators/dedup.cluster_survivors): the
+    simhash near-dup clusters of dedup_clusters, but keeping the
+    LONGEST document of each cluster (RefinedWeb practice) instead of
+    the min id — argmax by (token count DESC, doc_id ASC) via one
+    groupBy-max-struct, no window over cluster members (a boilerplate
+    mega-cluster cannot straggle).  The oracle reuses the 8-round
+    unrolled label SQL plus a max/tie-min join pair."""
+    from ..operators.dedup import (
+        cluster_survivors,
+        connected_components,
+        simhash_near_dups,
+    )
+    from ..operators.textstats import token_count
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    labels = connected_components(simhash_near_dups(_docs(spark, sf_dir),
+                                                    max_hamming=8))
+    out = cluster_survivors(
+        labels, docs, score=token_count(F.col("text")).cast("bigint")
+    )
+    return out.select(
+        "doc_id",
+        F.col("component").cast("bigint").alias("component"),
+        F.col("score").cast("bigint").alias("score"),
+        "is_kept",
+    )
+
+
+def _sql_cluster_survivors() -> str:
+    from ..operators.textstats import sql_token_count
+
+    labels = _sql_dedup_clusters()
+    return f"""
+WITH labels AS ({labels}),
+scored AS (
+  SELECT doc_id, CAST({sql_token_count("text")} AS BIGINT) AS score
+  FROM documents
+),
+j AS (
+  SELECT s.doc_id, COALESCE(l.component, s.doc_id) AS component, s.score
+  FROM scored s LEFT JOIN labels l ON l.id = s.doc_id
+),
+mx AS (SELECT component, MAX(score) AS mxs FROM j GROUP BY component),
+best AS (
+  SELECT j.component, MIN(j.doc_id) AS best_id
+  FROM j JOIN mx ON j.component = mx.component AND j.score = mx.mxs
+  GROUP BY j.component
+)
+SELECT j.doc_id, CAST(j.component AS BIGINT) AS component, j.score,
+       j.doc_id = b.best_id AS is_kept
+FROM j JOIN best b USING (component)
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary (operators/textstats.vocab_topk): the 200
     most frequent whitespace tokens with counts and ranks —
@@ -2117,6 +2172,7 @@ REGISTRY["asof_join"] = (q_asof_join, _sql_asof_join())
 REGISTRY["pack_emit"] = (q_pack_emit, _sql_pack_emit())
 REGISTRY["dedup_incremental"] = (q_dedup_incremental, _sql_dedup_incremental())
 REGISTRY["vocab_topk"] = (q_vocab_topk, _sql_vocab_topk())
+REGISTRY["cluster_survivors"] = (q_cluster_survivors, _sql_cluster_survivors())
 REGISTRY["ann_lsh"] = (q_ann_lsh, _sql_ann_lsh())
 REGISTRY["ann_ivf"] = (q_ann_ivf, _sql_ann_ivf())
 REGISTRY["dedup_minhash"] = (q_dedup_minhash, _sql_dedup_minhash())

@@ -752,3 +752,37 @@ def test_clusters_scale_chains_and_stars_round_count(spark):
     # round, small slack for compression phase alignment
     assert stats["rounds"] <= 13, stats
     assert wall < 300, f"1e5-edge label propagation took {wall:.0f}s"
+
+
+def test_cluster_survivors_keeps_longest(spark):
+    """Survivor policy: longest doc per cluster wins; ties -> lowest
+    id; singletons (no edges) keep themselves."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from batch3dfier_spark.operators.dedup import (
+        cluster_survivors,
+        connected_components,
+    )
+    from batch3dfier_spark.operators.textstats import token_count
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    )
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 99],
+        "text": ["a b", "a b c d", "a b c", "x y", "x y", "solo doc"],
+    }))
+    labels = connected_components(pairs)
+    out = cluster_survivors(
+        labels, docs, score=token_count(F.col("text")).cast("bigint")
+    ).toPandas().set_index("doc_id")
+    # cluster {1,2,3}: doc 2 is longest (4 tokens)
+    assert bool(out.loc[2, "is_kept"]) and not out.loc[1, "is_kept"]
+    assert not out.loc[3, "is_kept"]
+    # cluster {10,11}: tie at 2 tokens -> lowest id 10
+    assert bool(out.loc[10, "is_kept"]) and not out.loc[11, "is_kept"]
+    # singleton: own component, kept
+    assert bool(out.loc[99, "is_kept"]) and out.loc[99, "component"] == 99
+    # exactly one survivor per component
+    assert out.groupby("component")["is_kept"].sum().eq(1).all()
