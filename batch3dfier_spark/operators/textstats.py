@@ -323,7 +323,9 @@ def scrub_pii(
     counts = []
     for name, java_pat, _re2_pat, tok in PII_PATTERNS:
         counts.append(
-            (F.size(F.split(cur, java_pat, -1)) - 1).alias(f"n_{name}")
+            (F.size(F.split(cur, java_pat, -1)) - 1)
+            .cast("bigint")
+            .alias(f"n_{name}")
         )
         cur = F.regexp_replace(cur, java_pat, tok)
     return df.select(
