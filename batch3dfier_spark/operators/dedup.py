@@ -2,9 +2,10 @@
 SimHash, and n-gram Jaccard verification.
 
 Scale design (100 TB):
-- exact dedup: min/count over a whole-partition window keyed on
-  sha2(text) — ONE shuffle of the 64-hex key (the widest key in the
-  funnel); a groupBy+join-back fallback exists behind use_window=False.
+- exact dedup: groupBy(sha2(text)).agg(min,count) + join-back — the
+  partial map-side combine absorbs hot duplicate groups before the
+  shuffle and AQE can skew-split the join; a single-shuffle window
+  shape remains behind use_window=True for hot-key-free corpora.
 - MinHash: signatures are computed in one Arrow-batched pandas UDF
   (numpy matrix ops per batch, no per-row Python math); LSH banding
   explodes each doc into `bands` rows and groupBys on (band, band_hash)
@@ -78,19 +79,24 @@ def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    use_window: bool = True,
+    use_window: bool = False,
 ) -> DataFrame:
     """Exact near-zero-cost dedup: keeper = min id per sha2(text) group.
     Returns (id, text_sha, group_size, is_dup) — is_dup marks rows to
     drop.  Pure JVM.
 
-    Default shape is min/count over a whole-partition window: ONE
-    shuffle of the 64-hex sha (the widest shuffle key in the dedup
-    funnel, so shuffling it twice matters at 100 TB).  The window frame
-    is unordered (entire partition), so the only added cost is the
-    within-partition sort on text_sha.  `use_window=False` falls back to
-    the groupBy + join-back shape (two narrower-payload shuffles, no
-    sort) if that sort ever dominates on a given corpus."""
+    Default shape (the line_dedup lesson applied to its sibling) is
+    groupBy + join-back: hash aggregation does PARTIAL map-side
+    combine, so a hot exact-duplicate document (empty pages, error
+    pages, boilerplate mirrors — repeated 1e6-1e9x in a web corpus)
+    collapses to one (text_sha, min, count) row per input partition
+    before the shuffle, and the join-back is a plain equi-join that
+    AQE's skew handling CAN split at runtime.  The alternative —
+    min/count over a whole-partition window keyed on text_sha
+    (`use_window=True`, kept for corpora with no hot keys where the
+    single wide-key shuffle wins) — ships every occurrence of a hot
+    sha to ONE task: AQE splits skewed joins and aggregates, never
+    window partitions, so that task straggles or OOMs at 100 TB."""
     h = F.sha2(F.col(text_col), 256).alias("text_sha")
     with_h = df.select(F.col(id_col), h)
     if use_window:
@@ -129,13 +135,19 @@ def exact_dup_pairs(
     before connected_components.  Needed because minhash_near_dups
     PREFILTERS exact dups out of the LSH funnel (they would make hot
     buckets), so its pair output alone never names them (round-3
-    ADVICE).  Same one-shuffle window shape as exact_dedup."""
-    from pyspark.sql import Window
+    ADVICE).
 
-    w = Window.partitionBy("text_sha")
+    Skew-safe shape (no window): `groupBy(text_sha).agg(min(id))`
+    absorbs a hot duplicate group map-side via partial aggregation,
+    and the join-back that emits the star edges is a plain equi-join
+    AQE can skew-split.  The previous window-on-text_sha shape pinned
+    every occurrence of a hot sha to one task."""
+    with_h = df.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha")
+    )
+    keepers = with_h.groupBy("text_sha").agg(F.min(id_col).alias("_keeper"))
     return (
-        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha"))
-        .withColumn("_keeper", F.min(id_col).over(w))
+        with_h.join(keepers, "text_sha")
         .where(F.col(id_col) != F.col("_keeper"))
         .select(F.col("_keeper").alias("id_a"), F.col(id_col).alias("id_b"))
     )

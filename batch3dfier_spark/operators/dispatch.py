@@ -85,7 +85,7 @@ def run_tiles(
     DE-DRIVERED LINEAGE (round-3 VERDICT #1): nothing per-tile crosses
     the driver.  The per-(tile, salt) partials are folded to one row
     per tile by a JVM groupBy (reusing the grouped-apply partitioning),
-    the work-order JSON is rendered by format_string, and the lineage
+    the work-order JSON is rendered by to_json(struct(...)), and the lineage
     rows — each carrying its tile's data-file paths — are written as
     parquet parts straight into the table's staging dir by the
     executors.  The driver's commit reads only parquet FOOTERS
@@ -96,14 +96,11 @@ def run_tiles(
     """
     spark = df.sparkSession
     import json as _json
-    import re as _re
 
-    # the name is embedded in work-order JSON via format_string (no
-    # per-row json.dumps), so strip anything that could break the JSON
-    # framing (quotes, backslashes, control chars)
-    proc_name = _re.sub(
-        r'["\\\x00-\x1f]', "", getattr(process, "__name__", "process")
-    )
+    # the name is embedded in work-order JSON via to_json(struct(...)),
+    # which escapes quotes/backslashes/control chars structurally —
+    # exotic processor names survive verbatim and the JSON stays valid
+    proc_name = getattr(process, "__name__", "process")
     skip_tiles = set(skip_tiles or ())
 
     # -- resume: drop completed tiles without materializing big sets ------
@@ -210,8 +207,17 @@ def run_tiles(
         worker, schema=_LINEAGE_SCHEMA + ", path string"
     )
 
-    # mirror json.dumps({"tile": t, "salt_groups": n, "processor": p})
-    wo = '{"tile": %d, "salt_groups": %d, "processor": "%s"}'
+    # mirror json.dumps({"tile": t, "salt_groups": n, "processor": p});
+    # built executor-side by to_json(struct(...)) so escaping is the
+    # JSON writer's job, never string formatting's
+    def _wo(tile_col, n_col):
+        return F.to_json(
+            F.struct(
+                tile_col.cast("bigint").alias("tile"),
+                n_col.cast("int").alias("salt_groups"),
+                F.lit(proc_name).alias("processor"),
+            )
+        )
     if decomposable:
         # fold per-(tile, salt) partials into ONE lineage row per tile —
         # a JVM groupBy whose input is one ROW per (tile, salt), so the
@@ -239,9 +245,7 @@ def run_tiles(
             .select(
                 "tile_gid", "partition_id", "rows_in", "rows_out", "wall_ms",
                 F.when(F.col("_ok"), "ok").otherwise("empty").alias("status"),
-                F.format_string(
-                    wo, F.col("tile_gid"), F.size("paths"), F.lit(proc_name)
-                ).alias("work_order"),
+                _wo(F.col("tile_gid"), F.size("paths")).alias("work_order"),
                 "paths",
             )
         )
@@ -250,9 +254,7 @@ def run_tiles(
             "tile_gid",
             F.col("partition_id").cast("int").alias("partition_id"),
             "rows_in", "rows_out", "wall_ms", "status",
-            F.format_string(
-                wo, F.col("tile_gid"), F.lit(1), F.lit(proc_name)
-            ).alias("work_order"),
+            _wo(F.col("tile_gid"), F.lit(1)).alias("work_order"),
             F.when(F.col("path") != "", F.array(F.col("path")))
             .otherwise(F.lit(None).cast("array<string>"))
             .alias("paths"),

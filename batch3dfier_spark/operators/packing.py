@@ -12,9 +12,19 @@ Distribution/scale:
   ordered by doc_id) runs over same-sized groups; there is no hot key
   for the window to straggle on (the round-4 lesson: AQE cannot split
   window partitions, so windows are only allowed over keys whose group
-  size is bounded by construction).  At 100 TB you raise n_shards so a
-  shard is a few hundred MB of text; the packing inside each shard is
-  embarrassingly parallel across shards.
+  size is bounded by construction).
+- n_shards SIZING RULE (round-5 verdict #7): each shard's full row set
+  sorts on ONE task, so per-task volume is corpus_tokens / n_shards —
+  choose n_shards = ceil(corpus_tokens / tokens_per_shard) with
+  tokens_per_shard a few times 1e7 (a few hundred MB of text).  Pass
+  n_shards=None to have the packer derive exactly that from one cheap
+  SUM aggregation instead of defaulting a 100 TB corpus into
+  1024 x 100 GB window partitions.
+- tokenizer pluggability: `n_tokens_col` (pack_sequences) /
+  `tokens_col` (emit_sequences) accept a PRECOMPUTED BPE count /
+  token array from an upstream tokenizer, so the layout is faithful
+  to real token budgets; the built-in whitespace tokenization is the
+  self-contained default.
 - everything is a pure JVM expression (token_count's split + size, one
   windowed SUM) — whole-stage codegen, no Python.
 
@@ -34,29 +44,46 @@ from pyspark.sql import functions as F
 
 from .textstats import sql_token_count, token_count
 
-__all__ = ["pack_sequences", "emit_sequences", "sql_pack_sequences",
-           "sql_emit_sequences"]
+__all__ = ["pack_sequences", "emit_sequences", "chunk_docs",
+           "sql_pack_sequences", "sql_emit_sequences", "sql_chunk_docs"]
 
 
 def pack_sequences(
     df: DataFrame,
     n_ctx: int,
-    n_shards: int,
+    n_shards: int | None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    tokens_per_shard: int = 50_000_000,
 ) -> DataFrame:
     """Assign every document its place in the packed layout.
 
+    `n_tokens_col` names a PRECOMPUTED per-document token count (e.g.
+    from an upstream BPE tokenizer) that drives the layout instead of
+    the built-in whitespace count — real pretraining packs tokenizer
+    tokens, not words.  `n_shards=None` derives the shard count from
+    one SUM aggregation as ceil(total_tokens / tokens_per_shard), the
+    sizing rule that bounds each shard's window partition to
+    tokens_per_shard tokens on one task.
+
     Returns the input's id column plus:
       shard     — doc_id % n_shards (uniform; the packing unit)
-      n_tokens  — whitespace token count of the document
+      n_tokens  — token count of the document (whitespace or supplied)
       seq_id    — index (within the shard) of the n_ctx-token sequence
                   the document STARTS in
       seq_off   — token offset of the document inside that sequence
       spans     — true iff the document crosses into the next sequence
                   (its tail is cut there, exactly like GPT packing)
     """
-    tok = token_count(F.col(text_col))
+    tok = (
+        F.col(n_tokens_col).cast("bigint")
+        if n_tokens_col is not None
+        else token_count(F.col(text_col))
+    )
+    if n_shards is None:
+        total = df.agg(F.sum(tok.cast("bigint"))).first()[0] or 0
+        n_shards = max(1, -(-int(total) // int(tokens_per_shard)))
     shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
     w = (
         Window.partitionBy("shard")
@@ -91,6 +118,7 @@ def emit_sequences(
     n_shards: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The writer half of packing: materialize the actual training
     sequences — (shard, seq_id, seq_text, n_tokens) where seq_text is
@@ -98,6 +126,11 @@ def emit_sequences(
     doc_id-ordered concatenation (the final sequence of a shard may be
     shorter).  Documents spanning a cut are split across two rows,
     exactly as the layout from `pack_sequences` promises.
+
+    `tokens_col` names a PRECOMPUTED array<string> token column (e.g.
+    stringified BPE ids from an upstream tokenizer) to pack instead of
+    the built-in whitespace split — the layout then matches
+    pack_sequences(n_tokens_col=size(tokens_col)) exactly.
 
     Scale shape: the same uniform-shard window as pack_sequences, then
     one posexplode (one row per TOKEN — this is the step that
@@ -112,14 +145,19 @@ def emit_sequences(
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    toks_expr = (
+        F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
+        if tokens_col is not None
+        else F.when(
+            F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+            F.array().cast("array<string>"),
+        ).otherwise(tok_arr)
+    )
     toks = (
         df.select(
             F.col(id_col),
             F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
-            F.when(
-                F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
-                F.array().cast("array<string>"),
-            ).otherwise(tok_arr).alias("_toks"),
+            toks_expr.alias("_toks"),
         )
         .withColumn(
             "_cum_before",
@@ -150,6 +188,87 @@ def emit_sequences(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def chunk_docs(
+    df: DataFrame,
+    n_ctx: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Overlapping-chunk layout — the OTHER common training/embedding
+    preparation (vs pack_sequences' concatenate-and-cut): each
+    document is cut into windows of n_ctx tokens starting every
+    `stride` tokens (stride < n_ctx ⇒ overlap of n_ctx - stride), the
+    last window clamped to the document end.  Token-less documents
+    emit no chunks.
+
+    Returns (id, chunk_id, start_tok, end_tok, n_chunk_tokens).
+
+    Scale shape: MAP-ONLY — token count, a sequence() explode, and
+    integer arithmetic; no shuffle, no window, no Python anywhere, so
+    it scales embarrassingly to any corpus size.  `n_tokens_col`
+    plugs in a precomputed tokenizer count like pack_sequences."""
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    tok = (
+        F.col(n_tokens_col).cast("bigint")
+        if n_tokens_col is not None
+        else token_count(F.col(text_col)).cast("bigint")
+    )
+    with_n = df.select(F.col(id_col), tok.alias("_nt")).where(F.col("_nt") > 0)
+    # chunk starts: 0, stride, 2*stride, ... < n_tokens
+    n_chunks = F.expr(f"(_nt + {stride} - 1) div {stride}").cast("bigint")
+    return (
+        with_n.select(
+            F.col(id_col),
+            F.col("_nt"),
+            F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                 (n_chunks - 1).cast("bigint"))).alias(
+                "chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("bigint").alias("start_tok"),
+            F.least(F.col("chunk_id") * stride + n_ctx, F.col("_nt"))
+            .cast("bigint").alias("end_tok"),
+        )
+        .withColumn(
+            "n_chunk_tokens",
+            (F.col("end_tok") - F.col("start_tok")).cast("bigint"),
+        )
+    )
+
+
+def sql_chunk_docs(
+    n_ctx: int,
+    stride: int,
+    text: str = "text",
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of chunk_docs (RANGE unnest = sequence explode)."""
+    return f"""
+WITH n AS (
+  SELECT {id_col}, CAST({sql_token_count(text)} AS BIGINT) AS nt
+  FROM {table}
+),
+c AS (
+  SELECT {id_col}, nt,
+         UNNEST(RANGE(0, (nt + {stride} - 1) // {stride})) AS chunk_id
+  FROM n WHERE nt > 0
+)
+SELECT {id_col},
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {stride} AS BIGINT) AS start_tok,
+       CAST(LEAST(chunk_id * {stride} + {n_ctx}, nt) AS BIGINT) AS end_tok,
+       CAST(LEAST(chunk_id * {stride} + {n_ctx}, nt)
+            - chunk_id * {stride} AS BIGINT) AS n_chunk_tokens
+FROM c
+"""
 
 
 def sql_pack_sequences(

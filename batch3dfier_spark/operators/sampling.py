@@ -105,10 +105,17 @@ def cap_per_key(
        keeps ~cap + O(sqrt(cap)) candidate rows per key (a map-only
        JVM predicate); the exact row_number window then runs on groups
        whose size is ~cap by construction — bounded, skew-free;
-    4. an eager guard counts candidates per capped key and doubles the
-       margin (re-planning from the cached base) in the astronomically
-       unlikely event a key came up short, so the result is EXACT, not
-       approximate, for every input.
+    4. an eager guard counts candidates per capped key and quadruples
+       the margin in the astronomically unlikely event a key came up
+       short; the LAST attempt forces the threshold to 1.0 (every row
+       a candidate), so the result is EXACT for every input, never
+       approximate, with a hard bound on re-plans.
+
+    The hashed base is persist()ed before the guard's first count, so
+    the guard attempts and the final plan all reuse one materialized
+    scan instead of re-hashing the full input per action (the cache
+    stays pinned for the returned frame's lazy plan; Spark evicts it
+    LRU under memory pressure).
 
     The draw is the same sha2-hex-prefix uniform as hash_sample —
     60-bit integer / 2^60, exact in float64, bit-identical in any
@@ -120,7 +127,7 @@ def cap_per_key(
     out_cols = [F.col(c) for c in df.columns]
     base = df.withColumn(
         "_draw", hash_fraction_col(F.col(row_key_col), seed)
-    )
+    ).persist()
     counts = base.groupBy(key_col).agg(F.count("*").alias("_n"))
     joined = base.join(counts, on=key_col, how="inner")
 
@@ -133,6 +140,14 @@ def cap_per_key(
         .orderBy(F.col("_draw").asc(), F.col(row_key_col).asc())
     )
     for _attempt in range(6):
+        if _attempt == 5:
+            # final attempt: every row becomes a candidate (draws live
+            # in [0,1)), so the row_number pass is EXACT by
+            # construction — the documented ROW_NUMBER oracle contract
+            # can never be silently violated by an exhausted guard
+            thr = F.lit(1.0)
+            cand = big
+            break
         thr = F.least(
             F.lit(1.0),
             (F.lit(float(cap)) + F.lit(margin) * F.lit(float(cap)) ** 0.5

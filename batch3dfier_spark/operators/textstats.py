@@ -39,6 +39,8 @@ __all__ = [
     "repetition_stats",
     "scrub_pii",
     "vocab_topk",
+    "corpus_stats",
+    "sql_corpus_stats",
 ]
 
 # language marker words (tiny stopword lists; the n-gram-heuristic
@@ -415,4 +417,48 @@ SELECT token, freq,
        CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS BIGINT)
          AS rank
 FROM freqs
+"""
+
+
+def corpus_stats(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum corpus composition report — the first table every
+    training-mixture decision reads (how many docs/tokens/chars per
+    language or source, how long a typical document is).  One
+    partial-aggregating groupBy; the stratum key's cardinality is tiny
+    (languages, sources), and hot strata combine map-side, so the
+    shuffle carries one row per (partition, stratum).
+
+    Determinism: counts and sums are exact integers; mean_tokens is
+    the single final IEEE division (bit-identical in any engine)."""
+    tok = token_count(F.col(text_col)).cast("bigint")
+    return df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(tok).cast("bigint").alias("total_tokens"),
+        F.sum(F.length(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("bigint").alias("total_chars"),
+        F.min(tok).cast("bigint").alias("min_tokens"),
+        F.max(tok).cast("bigint").alias("max_tokens"),
+        (F.sum(tok).cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("mean_tokens"),
+    )
+
+
+def sql_corpus_stats(strata: str = "lang", text: str = "text",
+                     table: str = "documents") -> str:
+    """DuckDB twin of corpus_stats."""
+    tc = sql_token_count(text)
+    return f"""
+SELECT {strata},
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({tc}) AS BIGINT) AS total_tokens,
+       CAST(SUM(LENGTH(COALESCE({text}, ''))) AS BIGINT) AS total_chars,
+       CAST(MIN({tc}) AS BIGINT) AS min_tokens,
+       CAST(MAX({tc}) AS BIGINT) AS max_tokens,
+       CAST(SUM({tc}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+FROM {table}
+GROUP BY {strata}
 """

@@ -1305,8 +1305,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution as-of join (operators/asof.as_of_join):
     every purchase event gains the latest click event of the same user
     at-or-before the purchase timestamp — the union-and-window as-of
-    (one shuffle, pure JVM, no range-join pair blowup).  The oracle
-    replays the identical union + LAST_VALUE IGNORE NULLS window, not
+    (pure JVM, no range-join pair blowup), on the hot-key-safe
+    TIME-BUCKETED path (ts_bucket_s): keyed windows run only within
+    (user, day) buckets and the latest click state is prefix-carried
+    across buckets over the small per-(user, bucket) summary, so a
+    single hyperactive user can never pin one task.  The oracle
+    replays the equivalent single union + LAST_VALUE IGNORE NULLS
+    window (the two paths are bit-identical by construction), not
     DuckDB's ASOF JOIN, so tie-resolution is pinned to the same total
     order in both engines."""
     from ..operators.asof import as_of_join
@@ -1321,6 +1326,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = as_of_join(
         purchases, clicks, on="user_id",
         ts_col="ts", right_id_col="event_id", right_cols=["value"],
+        ts_bucket_s=86_400.0,
     )
     # house determinism rule: timestamps leave contract queries as
     # formatted strings (pandas ns-vs-us resolution never reaches the

@@ -616,20 +616,26 @@ class IcebergishTable:
         applies the range as a row filter, so the result is tile-exact
         even when a compacted file spans several tiles — the file-level
         prune is the scan optimization, the filter is the contract (the
-        split Iceberg itself makes).  Pre-upgrade tables without the
-        column keep exact semantics from their per-tile file layout."""
+        split Iceberg itself makes).  The row filter is NULL-tolerant:
+        in a MIXED table (pre-upgrade per-tile files without the
+        column, plus new/compacted files with it) the old files' rows
+        surface as NULL tile_gid under the unified schema, but they
+        are already tile-exact via the per-tile file prune — dropping
+        them would silently lose committed rows (round-5 ADVICE)."""
         fs = self.files(snapshot_id, min_tile, max_tile)
         if not fs:
             raise ValueError("empty table (no committed snapshot)")
-        df = spark.read.parquet(*fs)
+        df = spark.read.option("mergeSchema", "true").parquet(*fs)
         if (min_tile is not None or max_tile is not None) \
                 and "tile_gid" in df.columns:
             from pyspark.sql import functions as F
 
+            rng = F.lit(True)
             if min_tile is not None:
-                df = df.where(F.col("tile_gid") >= min_tile)
+                rng = rng & (F.col("tile_gid") >= min_tile)
             if max_tile is not None:
-                df = df.where(F.col("tile_gid") <= max_tile)
+                rng = rng & (F.col("tile_gid") <= max_tile)
+            df = df.where(F.col("tile_gid").isNull() | rng)
         return df
 
     # -- task-side helpers ------------------------------------------------------

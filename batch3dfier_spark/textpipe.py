@@ -58,6 +58,14 @@ Config shape::
       - op: strip_dup_spans              # exact-substring dedup (Lee
         n: 8                             #   et al.): remove token runs
         min_docs: 2                      #   shared by >= min_docs docs
+      - op: near_dup_labels              # attach near-dup `component`
+        method: simhash                  #   labels WITHOUT dropping —
+        max_hamming: 8                   #   the stage write materializes
+                                         #   the labels table ONCE
+      - op: cluster_survivors            # keep the best doc per cluster
+        policy: longest                  #   (longest|longest_chars|
+                                         #   min_id) from the
+                                         #   materialized labels
 """
 
 from __future__ import annotations
@@ -90,6 +98,58 @@ def parse_textpipe_config(path: str) -> dict:
         if "op" not in step:
             raise ValueError(f"step missing op: {step}")
     return cfg
+
+
+def _near_dup_pairs(df: DataFrame, step: dict) -> DataFrame:
+    """(id_a, id_b) near-dup candidate edges per the step's method —
+    shared by the near_dedup (drop) and near_dup_labels (annotate)
+    steps so both see identical cluster graphs."""
+    from .operators.dedup import (
+        exact_dup_pairs,
+        minhash_near_dups,
+        simhash_near_dups,
+    )
+
+    method = step.get("method", "minhash")
+    if method == "minhash":
+        # persist_intermediates=False: the pipeline holds the frame
+        # across later steps and the final write, so funnel-internal
+        # persists would outlive their usefulness in the executor
+        # cache; the small recompute is cheaper than the leak
+        pairs = minhash_near_dups(
+            df, threshold=float(step.get("threshold", 0.5)),
+            persist_intermediates=False,
+        )
+        # minhash_near_dups PREFILTERS byte-identical docs out of the
+        # LSH funnel, so its pairs never name exact duplicates; union
+        # the exact-dup star edges back in so a pipeline running
+        # near_dedup WITHOUT a preceding exact_dedup still drops them
+        # (round-3 ADVICE).  simhash/embedding don't need this: an
+        # identical doc has an identical signature/vector and pairs
+        # up through the normal candidate path.
+        return pairs.select("id_a", "id_b").unionByName(
+            exact_dup_pairs(df)
+        )
+    if method == "simhash":
+        return simhash_near_dups(
+            df, max_hamming=int(step.get("max_hamming", 8))
+        )
+    if method == "embedding":
+        from .operators.dedup import embedding_near_dups_lsh
+
+        # the recall-gated (>=0.95) hyperplane-LSH funnel: buckets ->
+        # candidate pairs -> exact quantized re-score; requires the
+        # frame to carry an embedding column (e.g. joined upstream)
+        return embedding_near_dups_lsh(
+            df,
+            dim=int(step["dim"]),
+            threshold=float(step.get("threshold", 0.4)),
+            id_col="doc_id",
+            vec_col=step.get("vec_col", "embedding"),
+        )
+    raise ValueError(
+        f"near-dup method must be minhash|simhash|embedding, got {method}"
+    )
 
 
 def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
@@ -150,62 +210,68 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
             out = out.join(keep, "doc_id")
         return out
     if op == "near_dedup":
-        from .operators.dedup import (
-            connected_components,
-            exact_dup_pairs,
-            minhash_near_dups,
-            simhash_near_dups,
-        )
+        from .operators.dedup import connected_components
 
-        method = step.get("method", "minhash")
-        if method == "minhash":
-            # persist_intermediates=False: the pipeline holds the frame
-            # across later steps and the final write, so funnel-internal
-            # persists would outlive their usefulness in the executor
-            # cache; the small recompute is cheaper than the leak
-            pairs = minhash_near_dups(
-                df, threshold=float(step.get("threshold", 0.5)),
-                persist_intermediates=False,
-            )
-            # minhash_near_dups PREFILTERS byte-identical docs out of the
-            # LSH funnel, so its pairs never name exact duplicates; union
-            # the exact-dup star edges back in so a pipeline running
-            # near_dedup WITHOUT a preceding exact_dedup still drops them
-            # (round-3 ADVICE).  simhash/embedding don't need this: an
-            # identical doc has an identical signature/vector and pairs
-            # up through the normal candidate path.
-            pairs = pairs.select("id_a", "id_b").unionByName(
-                exact_dup_pairs(df)
-            )
-        elif method == "simhash":
-            pairs = simhash_near_dups(
-                df, max_hamming=int(step.get("max_hamming", 8))
-            )
-        elif method == "embedding":
-            from .operators.dedup import embedding_near_dups_lsh
-
-            # the recall-gated (>=0.95) hyperplane-LSH funnel: buckets ->
-            # candidate pairs -> exact quantized re-score; requires the
-            # frame to carry an embedding column (e.g. joined upstream)
-            pairs = embedding_near_dups_lsh(
-                df,
-                dim=int(step["dim"]),
-                threshold=float(step.get("threshold", 0.4)),
-                id_col="doc_id",
-                vec_col=step.get("vec_col", "embedding"),
-            )
-        else:
-            raise ValueError(
-                f"near_dedup method must be minhash|simhash|embedding,"
-                f" got {method}"
-            )
-        comp = connected_components(pairs)
+        comp = connected_components(_near_dup_pairs(df, step))
         # keeper = the doc whose id IS the component label; docs never
         # paired keep themselves by absence from the drop list
         drops = comp.where(F.col("id") != F.col("component")).select(
             F.col("id").alias("doc_id")
         )
         return df.join(drops, "doc_id", "left_anti")
+    if op == "near_dup_labels":
+        # the MATERIALIZE-ONCE half of the cluster pipeline (round-5
+        # verdict #8): attach each doc's near-dup cluster label as a
+        # `component` column WITHOUT dropping anything.  The stage
+        # write that follows persists the labels table exactly once;
+        # a downstream cluster_survivors (or any analysis) step then
+        # reads labels from parquet instead of re-running the
+        # signature+label-propagation funnel per consumer.
+        from .operators.dedup import connected_components
+
+        comp = connected_components(_near_dup_pairs(df, step))
+        lbl = comp.select(
+            F.col("id").alias("doc_id"), F.col("component")
+        )
+        return df.join(lbl, "doc_id", "left").withColumn(
+            "component", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+    if op == "cluster_survivors":
+        # survivor-policy dedup over a PRE-MATERIALIZED `component`
+        # column (from a near_dup_labels stage): keep the best doc of
+        # each cluster by the configured policy.  groupBy-max-struct
+        # argmax — no window over cluster members.
+        from .operators.dedup import cluster_survivors
+        from .operators.textstats import token_count
+
+        if "component" not in df.columns:
+            raise ValueError(
+                "cluster_survivors needs a `component` column — run a "
+                "near_dup_labels step (the materialized labels stage) "
+                "before it"
+            )
+        policy = step.get("policy", "longest")
+        text_col = step.get("text_col", "text")
+        if policy == "longest":
+            score = token_count(F.col(text_col)).cast("bigint")
+        elif policy == "longest_chars":
+            score = F.length(F.coalesce(F.col(text_col), F.lit(""))).cast(
+                "bigint"
+            )
+        elif policy == "min_id":
+            score = F.lit(0).cast("bigint")  # ties -> lowest id wins
+        else:
+            raise ValueError(
+                f"cluster_survivors policy must be "
+                f"longest|longest_chars|min_id, got {policy}"
+            )
+        labels = df.select(
+            F.col("doc_id").alias("id"), F.col("component")
+        )
+        out = cluster_survivors(labels, df.drop("component"), score=score)
+        return out.where(F.col(step.get("keep_col", "is_kept"))).drop(
+            "is_kept", "score"
+        )
     if op == "decontaminate":
         from .operators.dedup import decontaminate
 

@@ -112,6 +112,119 @@ def test_asof_matches_oracle_with_tolerance(spark):
     assert got["event_id_r"].notna().any() and got["event_id_r"].isna().any()
 
 
+def test_asof_bucketed_equals_plain_hand_checked(spark):
+    """The ts_bucket_s two-pass path must reproduce the plain-window
+    semantics exactly, including inclusive ties and largest-right-id
+    tie wins, at a bucket width small enough that matches cross bucket
+    boundaries (30 min buckets, matches up to 2.5 h apart)."""
+    from batch3dfier_spark.operators.asof import as_of_join
+
+    left, right = _frames()
+    plain = as_of_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="user_id", right_cols=["value"],
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+    bucketed = as_of_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="user_id", right_cols=["value"], ts_bucket_s=1800,
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, bucketed)
+
+
+def test_asof_bucketed_hot_key_boundary_ties(spark):
+    """Hot-key fixture (round-5 verdict #2): ONE key carrying 1e5
+    left + 1e4 right rows, with right rows placed EXACTLY on bucket
+    boundaries so ties between an in-bucket right row and a same-ts
+    left row, and carries across empty buckets, are both exercised.
+    Asserts (a) every keyed window in the plan is bucketed (no window
+    partitions on the bare key except the bucket-summary carry, whose
+    input is the small grid), and (b) the matches are exactly the
+    arithmetic truth."""
+    from pyspark.sql import functions as F
+
+    from batch3dfier_spark.operators.asof import as_of_join
+
+    n_left, n_right, bucket = 100_000, 10_000, 60.0
+    # left events at t = i seconds; right states at t = 600*j seconds
+    # (every 10th bucket boundary), value = j
+    left = spark.range(n_left).select(
+        F.col("id").alias("event_id"),
+        F.lit(7).alias("user_id"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+    right = spark.range(n_right).select(
+        (F.col("id") + 1_000_000).alias("event_id"),
+        F.lit(7).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 600).alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    out = as_of_join(
+        left, right, on="user_id", right_cols=["value"], ts_bucket_s=bucket
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # in-bucket windows partition on (user_id, _bkt); the only
+    # key-partitioned window is the carry over the bucket grid
+    import re
+
+    bare_key_windows = [
+        m for m in re.findall(r"partitionBy=\[([^\]]*)\]", plan)
+        if "user_id" in m and "_bkt" not in m
+    ]
+    assert len(bare_key_windows) <= 1, plan
+    # truth: left at t=i matches right state j = floor(i/600)
+    # (inclusive: at i = 600*j exactly, that right row counts)
+    bad = out.where(
+        F.col("value_r") != F.floor(F.col("event_id") / 600).cast("double")
+    ).count()
+    assert bad == 0
+    assert out.count() == n_left
+    # boundary tie spot check: left event at exactly t=600 matches j=1
+    row = out.where(F.col("event_id") == 600).first()
+    assert row["value_r"] == 1.0 and row["event_id_r"] == 1_000_001
+
+
+def test_asof_null_ts_and_null_rid_pinned(spark):
+    """NULL discipline (round-5 ADVICE): right rows with NULL ts are
+    dropped, left rows with NULL ts get NULL matches, NULL right ids
+    sort as -2 — identically in the engine and the DuckDB twin."""
+    from batch3dfier_spark.operators.asof import as_of_join, sql_as_of_join
+
+    left = pd.DataFrame({
+        "event_id": [100, 101],
+        "user_id": [1, 1],
+        "ts": [TS("2024-01-01 10:00"), pd.NaT],
+        "value": [10.0, 20.0],
+    })
+    right = pd.DataFrame({
+        "event_id": pd.array([1, None, 3], dtype="Int64"),
+        "user_id": [1, 1, 1],
+        "ts": [TS("2024-01-01 09:00"), TS("2024-01-01 09:30"), pd.NaT],
+        "value": [1.0, 2.0, 3.0],
+    })
+    got = as_of_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="user_id", right_cols=["value"],
+    ).toPandas().set_index("event_id")
+    # NULL-ts right row (value 3.0) never matches; NULL-id row does
+    assert got.loc[100, "value_r"] == 2.0
+    # per-column ignorenulls: the matched row's NULL id looks through
+    # to the previous non-null right id — pinned, same in the oracle
+    assert got.loc[100, "event_id_r"] == 1
+    assert pd.isna(got.loc[101, "value_r"])     # NULL-ts left row
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.sql(sql_as_of_join(
+        left_sql="SELECT * FROM l", right_sql="SELECT * FROM r",
+        on="user_id", left_cols=["event_id", "user_id", "ts", "value"],
+        right_cols=["value"],
+    )).df().set_index("event_id")
+    for c in ("value_r", "event_id_r"):
+        assert (
+            got[c].sort_index().fillna(-9) == exp[c].sort_index().fillna(-9)
+        ).all()
+
+
 def test_asof_partition_independence(spark):
     from batch3dfier_spark.operators.asof import as_of_join
 

@@ -564,6 +564,53 @@ def test_line_dedup_hot_line_no_window(spark):
     )
 
 
+def test_exact_dedup_hot_dup_no_window(spark):
+    """Skew guard (round-5 verdict #1 — the line_dedup lesson applied
+    to its siblings): one document byte-duplicated 1e5 times must NOT
+    become a single window partition in exact_dedup or exact_dup_pairs.
+    Asserts (a) neither executed plan contains a Window operator (the
+    default shape is groupBy-min/count + join-back, whose partial
+    aggregation map-side combines the hot sha group and whose join AQE
+    can skew-split), and (b) the hot-dup corpus yields the right
+    answer: one keeper, 1e5-1 dups, group_size = 1e5 on every member,
+    and exact_dup_pairs emits exactly the star edges to the min id."""
+    from pyspark.sql import functions as F
+
+    from batch3dfier_spark.operators.dedup import exact_dedup, exact_dup_pairs
+
+    n_hot, n_uniq = 100_000, 500
+    hot_text = "identical error page body repeated one hundred thousand times"
+    docs = spark.range(n_hot + n_uniq).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_hot, F.lit(hot_text))
+        .otherwise(F.concat(F.lit("unique doc "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+
+    marked = exact_dedup(docs)
+    plan = marked._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    agg = marked.agg(
+        F.sum(F.col("is_dup").cast("long")).alias("dups"),
+        F.max(F.when(~F.col("is_dup"), F.col("group_size"))).alias("max_gs"),
+    ).first()
+    assert agg["dups"] == n_hot - 1
+    assert agg["max_gs"] == n_hot
+    keepers = marked.where(~F.col("is_dup"))
+    assert keepers.count() == 1 + n_uniq
+    assert keepers.where(F.col("group_size") == n_hot).first()["doc_id"] == 0
+
+    pairs = exact_dup_pairs(docs)
+    pplan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in pplan, pplan
+    pagg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("id_a").alias("max_a"),
+        F.min("id_b").alias("min_b"),
+    ).first()
+    assert pagg["n"] == n_hot - 1 and pagg["max_a"] == 0 and pagg["min_b"] == 1
+
+
 def test_ngram_oracle_non_ascii(spark):
     """The ngram oracle compares gram STRINGS while the engine compares
     stable gram hashes — identical jaccards on multibyte text too

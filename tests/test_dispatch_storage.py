@@ -426,6 +426,33 @@ def test_skip_and_resume_on_staged_lineage(spark, tmp_path):
     assert rec["processor"] == "tile_processor"
 
 
+def test_work_order_json_escapes_exotic_processor_name(spark, tmp_path):
+    """Round-5 ADVICE closure: a processor __name__ carrying quotes,
+    backslashes, and newlines must still yield VALID work-order JSON
+    with the name preserved verbatim (to_json escapes structurally;
+    the old format_string path produced broken framing)."""
+    import json
+
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(8)],
+            "text": ["x y"] * 8,
+            "tile_gid": [i % 2 + 1 for i in range(8)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def weird(p):
+        return p
+
+    weird.__name__ = 'we"ird\\name\nwith"!'
+    table = IcebergishTable(str(tmp_path / "w"))
+    lin = run_tiles(df, weird, table, skip_tiles={2})
+    for wo in lin["work_order"]:
+        rec = json.loads(wo)  # raises on invalid JSON
+        assert rec["processor"] == 'we"ird\\name\nwith"!'
+
+
 def test_table_directory_is_movable(spark, tmp_path):
     """Manifests store root-relative paths, so a table directory can be
     relocated wholesale and still read (staged-lineage format)."""
@@ -476,6 +503,46 @@ def _commit_tile_files(table, tiles, rows_per_tile=5, commit_tag=0):
                        rows_out=rows_per_tile, wall_ms=1.0, status="ok")
         )
     return table.commit(files, lineage)
+
+
+def test_pruned_read_mixed_schema_keeps_pre_upgrade_rows(spark, tmp_path):
+    """Round-5 ADVICE (medium): a MIXED table — pre-upgrade per-tile
+    files WITHOUT the row-level tile_gid column plus new files WITH it
+    — must not silently drop the old files' rows from a pruned read.
+    The old rows surface as NULL tile_gid under the merged schema; the
+    row filter is NULL-tolerant because those files are already
+    tile-exact via the per-tile file prune."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from batch3dfier_spark.storage.tablefmt import LineageRow
+
+    table = IcebergishTable(str(tmp_path / "mix"))
+    # commit 1: legacy layout — NO tile_gid column in the data file
+    legacy_files, legacy_lineage = [], []
+    for t in (7, 8):
+        p = table.new_data_path(t)
+        pq.write_table(
+            pa.table({"url": [f"old{t}_{i}" for i in range(3)],
+                      "v": pa.array([t * 10 + i for i in range(3)],
+                                    pa.int64())}),
+            p,
+        )
+        legacy_files.append(p)
+        legacy_lineage.append(
+            LineageRow(tile_gid=t, partition_id=0, rows_in=3, rows_out=3,
+                       wall_ms=1.0, status="ok"))
+    table.commit(legacy_files, legacy_lineage)
+    # commit 2: post-upgrade layout with the column
+    _commit_tile_files(table, (7, 9), rows_per_tile=2, commit_tag=1)
+
+    # pruned read of tile 7 returns BOTH generations' tile-7 rows
+    got = table.read(spark, min_tile=7, max_tile=7).toPandas()
+    assert sorted(u for u in got["url"]) == [
+        "old7_0", "old7_1", "old7_2", "u00007_1_0", "u00007_1_1"
+    ]
+    # unpruned read still sees everything
+    assert table.read(spark).count() == 6 + 4
 
 
 def test_compact_1000_tiles_10_commits(spark, tmp_path):

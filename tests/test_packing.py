@@ -143,3 +143,59 @@ def test_emit_sequences_matches_duckdb(spark):
     # every full sequence holds exactly n_ctx tokens
     full = got.groupby("shard")["seq_id"].transform("max") > got["seq_id"]
     assert (got.loc[full, "n_tokens"] == 512).all()
+
+
+def test_pack_sequences_custom_token_counts(spark):
+    """Round-5 verdict #7: a caller-supplied precomputed token count
+    (the BPE path) drives the layout instead of the whitespace count —
+    and n_shards=None derives the shard count from the sizing rule
+    ceil(total_tokens / tokens_per_shard)."""
+    from batch3dfier_spark.operators.packing import pack_sequences
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b", "c d e", "f", "g h"],          # whitespace: 2,3,1,2
+        "bpe_tokens": [500, 10, 512, 100],              # tokenizer truth
+    })
+    out = (
+        pack_sequences(
+            spark.createDataFrame(pdf), n_ctx=512, n_shards=1,
+            n_tokens_col="bpe_tokens",
+        )
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert list(out["n_tokens"]) == [500, 10, 512, 100]
+    # cum_before: 0, 500, 510, 1022
+    assert list(out["seq_id"]) == [0, 0, 0, 1]
+    assert list(out["seq_off"]) == [0, 500, 510, 510]
+    assert list(out["spans"]) == [False, False, True, True]
+
+    # n_shards=None: total 1122 tokens / 400 per shard -> 3 shards
+    derived = (
+        pack_sequences(
+            spark.createDataFrame(pdf), n_ctx=512, n_shards=None,
+            n_tokens_col="bpe_tokens", tokens_per_shard=400,
+        )
+        .toPandas()
+    )
+    assert sorted(derived["shard"].unique()) == [0, 1, 2]
+
+
+def test_emit_sequences_custom_tokens_col(spark):
+    """emit_sequences(tokens_col=...) packs the supplied token arrays
+    and agrees with pack_sequences(n_tokens_col=size(tokens))."""
+    from batch3dfier_spark.operators.packing import emit_sequences
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "toks": [["10", "11", "12"], ["20"], ["30", "31", "32", "33"]],
+    })
+    out = (
+        emit_sequences(
+            spark.createDataFrame(pdf), n_ctx=4, n_shards=1,
+            tokens_col="toks",
+        )
+        .toPandas().sort_values(["shard", "seq_id"]).reset_index(drop=True)
+    )
+    assert list(out["seq_text"]) == ["10 11 12 20", "30 31 32 33"]
+    assert list(out["n_tokens"]) == [4, 4]

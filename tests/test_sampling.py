@@ -224,6 +224,26 @@ def test_cap_per_key_exact_and_partition_independent(spark):
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
 
 
+def test_cap_per_key_caches_base(spark):
+    """Round-5 verdict #6: the hashed base is persist()ed so the guard
+    count and the final plan reuse ONE materialized scan — the
+    returned frame's plan must read from the in-memory relation, not
+    re-hash the input."""
+    from batch3dfier_spark.operators.sampling import cap_per_key
+
+    pdf = pd.DataFrame({
+        "doc_id": range(100),
+        "key": ["a"] * 80 + ["b"] * 20,
+    })
+    out = cap_per_key(
+        spark.createDataFrame(pdf), cap=10, key_col="key",
+        row_key_col="doc_id", seed="cache",
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan, plan
+    assert out.count() == 10 + 10
+
+
 def test_scrub_pii_contract_matches_duckdb(spark):
     """The scrub_pii CONTRACT query (deterministic doc_id-derived PII
     injected into the fixture text, then scrubbed) == its registry
