@@ -2186,6 +2186,79 @@ REGISTRY["dedup_simhash"] = (q_dedup_simhash, _sql_dedup_simhash())
 REGISTRY["dedup_clusters"] = (q_dedup_clusters, _sql_dedup_clusters())
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by integer-quantized tf-idf
+    (operators/tfidf.tfidf_topk): corpus df via partial-aggregating
+    groupBys (hot tokens combine map-side), scalar doc count as a
+    broadcast cross join, per-doc rank window bounded by doc length.
+    Scores are integers (tf * ((1e6*N) div df)) so the DuckDB twin is
+    bit-exact with no float log anywhere."""
+    from ..operators.tfidf import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+def _sql_tfidf_topk() -> str:
+    from ..operators.tfidf import sql_tfidf_topk
+
+    return sql_tfidf_topk(k=3)
+
+
+def q_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-commonness quality proxy (operators/tfidf.
+    commonness_score — the CCNet-LM-filter stand-in): corpus unigram
+    frequencies (map-side-combined groupBy), occurrences joined back on
+    the token (a skewed-join key AQE can split, unlike a window), mean
+    ppm per doc with a single final IEEE division."""
+    from ..operators.tfidf import commonness_score
+
+    return commonness_score(_docs(spark, sf_dir))
+
+
+def _sql_commonness() -> str:
+    from ..operators.tfidf import sql_commonness_score
+
+    return sql_commonness_score()
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus composition report (operators/textstats.
+    corpus_stats): one partial-aggregating groupBy over tiny stratum
+    cardinality — the mixture-design table every pipeline reads
+    first.  Exact integer counts/sums, one final IEEE division."""
+    from ..operators.textstats import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+def _sql_corpus_stats() -> str:
+    from ..operators.textstats import sql_corpus_stats
+
+    return sql_corpus_stats()
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-chunk layout (operators/packing.chunk_docs): 64-token
+    windows every 48 tokens per document — MAP-ONLY (token count +
+    sequence explode + integer arithmetic; zero shuffles, zero Python),
+    the embedding/finetune-prep counterpart of pack_sequences."""
+    from ..operators.packing import chunk_docs
+
+    return chunk_docs(_docs(spark, sf_dir), n_ctx=64, stride=48)
+
+
+def _sql_chunk_docs() -> str:
+    from ..operators.packing import sql_chunk_docs
+
+    return sql_chunk_docs(n_ctx=64, stride=48)
+
+
+REGISTRY["tfidf_topk"] = (q_tfidf_topk, _sql_tfidf_topk())
+REGISTRY["commonness"] = (q_commonness, _sql_commonness())
+REGISTRY["corpus_stats"] = (q_corpus_stats, _sql_corpus_stats())
+REGISTRY["chunk_docs"] = (q_chunk_docs, _sql_chunk_docs())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
