@@ -43,7 +43,9 @@ __all__ = [
     "exact_dedup",
     "exact_dup_pairs",
     "line_dedup",
+    "paragraph_dedup",
     "minhash_signatures",
+    "band_rows",
     "lsh_candidates",
     "verified_near_dups",
     "minhash_near_dups",
@@ -225,6 +227,88 @@ def line_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 30,
+    mode: str = "keep_first",
+) -> DataFrame:
+    """CORPUS-level exact paragraph dedup — the granularity between
+    line_dedup (C4's per-line rule) and exact_dedup (whole documents).
+    Paragraphs are blank-line-separated blocks; those of >= min_chars
+    characters are deduplicated across the whole corpus, shorter blocks
+    (headings, separators) always stay.  Two policies:
+
+      mode='keep_first'  the lowest (doc_id, par_no) occurrence
+                         survives, all later occurrences are deleted
+                         (the line_dedup rule lifted to paragraphs);
+      mode='drop_all'    EVERY occurrence of a paragraph whose corpus
+                         frequency is >= 2 is deleted (the CCNet rule:
+                         repeated boilerplate — cookie banners, nav
+                         blocks, license footers — carries no signal
+                         even once, so no copy is kept).
+
+    Returns (id_col, text_col) with every input document reassembled
+    from its surviving paragraphs in order ('' if none survive).
+
+    Scale shape — identical to line_dedup's (its round-4 skew lesson):
+    survivor selection is `groupBy(paragraph).agg(min(struct(id,
+    par_no)), count)` — hash aggregation does PARTIAL map-side combine,
+    so a cookie banner repeated 1e9 times collapses to one row per
+    input partition before the shuffle; no window ever partitions by
+    the paragraph value (AQE can skew-split joins and aggregates, never
+    window partitions).  drop_all only changes the post-aggregation
+    filter (count == 1 instead of taking the min occurrence) — the
+    shuffle shape is the same.  Reassembly is the same groupBy(id) +
+    sort_array + concat_ws second pass."""
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError(f"unknown paragraph_dedup mode: {mode!r}")
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n\n", -1)
+        ).alias("par_no", "par"),
+    )
+    long = paras.where(F.length("par") >= min_chars)
+    short = paras.where(F.length("par") < min_chars)
+    groups = long.groupBy("par").agg(
+        F.min(F.struct(F.col(id_col), F.col("par_no"))).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    if mode == "keep_first":
+        surv = groups.select(
+            F.col("_s")[id_col].alias(id_col),
+            F.col("_s")["par_no"].alias("par_no"),
+            F.col("par"),
+        )
+    else:  # drop_all: only corpus-unique paragraphs survive
+        surv = groups.where(F.col("_n") == 1).select(
+            F.col("_s")[id_col].alias(id_col),
+            F.col("_s")["par_no"].alias("par_no"),
+            F.col("par"),
+        )
+    rebuilt = (
+        surv.unionByName(short)
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("par_no", "par"))).alias("_ps")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws("\n\n", F.col("_ps")["par"]).alias(text_col),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+    )
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Distinct k-char shingle hashes (int64) of a document, vectorized:
     one python-level pass builds the byte matrix, hashing is numpy."""
@@ -330,6 +414,40 @@ def minhash_signatures(
     )
 
 
+def band_rows(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding rows (id, band_id, band_hash): each signature is
+    split into `bands` contiguous slices and every slice is hashed
+    JVM-side (xxhash64 over band_id + the slice rendered as a string)
+    — the single join key every LSH consumer (in-corpus candidates,
+    the incremental corpus state) buckets or shuffles on.  Pure JVM:
+    sequence-explode + slice + xxhash64, no Python, no HOF lambdas."""
+    num_perm_col = F.size(F.col("signature"))
+    rows_per_band = (num_perm_col / F.lit(bands)).cast("int")
+    return (
+        signatures.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+            "signature",
+        )
+        .select(
+            id_col,
+            "band_id",
+            F.xxhash64(
+                F.col("band_id"),
+                F.slice(
+                    F.col("signature"),
+                    F.col("band_id") * rows_per_band + 1,
+                    rows_per_band,
+                ).cast("string"),
+            ).alias("band_hash"),
+        )
+    )
+
+
 def lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -352,27 +470,7 @@ def lsh_candidates(
     `minhash_near_dups`) so byte-identical clusters never reach the
     buckets at all; the cap is the safety net for near-identical ones.
     """
-    num_perm_col = F.size(F.col("signature"))
-    rows_per_band = (num_perm_col / F.lit(bands)).cast("int")
-    banded = (
-        signatures.select(
-            id_col,
-            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
-            "signature",
-        )
-        .select(
-            id_col,
-            "band_id",
-            F.xxhash64(
-                F.col("band_id"),
-                F.slice(
-                    F.col("signature"),
-                    F.col("band_id") * rows_per_band + 1,
-                    rows_per_band,
-                ).cast("string"),
-            ).alias("band_hash"),
-        )
-    )
+    banded = band_rows(signatures, id_col=id_col, bands=bands)
     # ONE effective shuffle builds capped buckets: the row_number window
     # (partitioned on the bucket key, ordered by id) caps each bucket to
     # its lowest `bucket_cap` ids BEFORE any bucket is materialized as an

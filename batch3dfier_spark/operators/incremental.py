@@ -40,6 +40,9 @@ __all__ = [
     "dedup_increment",
     "append_increment",
     "sql_dedup_increment",
+    "register_minhash_corpus",
+    "near_dedup_increment",
+    "append_minhash_increment",
 ]
 
 
@@ -140,3 +143,216 @@ fresh AS (
 SELECT b.*, f.text_sha
 FROM batch b JOIN fresh f USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup: a minhash-LSH corpus state, O(batch) per increment
+# ---------------------------------------------------------------------------
+
+def _est_matches(a, b, num_perm: int):
+    """Matching-component count of two minhash signatures as a pure JVM
+    expression (num_perm CASE terms — no HOF lambda, no Python):
+    est_jaccard = matches / num_perm."""
+    terms = None
+    for i in range(num_perm):
+        t = F.when(
+            F.element_at(a, i + 1) == F.element_at(b, i + 1), 1
+        ).otherwise(0)
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def register_minhash_corpus(
+    spark: SparkSession,
+    corpus: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    n_buckets: int = 8,
+    bucket_cap: int = 128,
+) -> None:
+    """Materialize the corpus NEAR-dup state — the minhash analog of
+    register_corpus's exact-hash state, sized for a forever-growing
+    100 TB corpus:
+
+    - `{table}_sigs` (id, signature[num_perm]): num_perm*8 bytes per
+      doc (the whole reason decisions run on signature ESTIMATES —
+      storing shingle sets for exact verification would be a second
+      copy of the corpus), bucketed+sorted by id so the per-candidate
+      signature fetch never shuffles the corpus side;
+    - `{table}_bands` (band_id, band_hash, id): the LSH postings,
+      bucketed+sorted by (band_id, band_hash) so a batch's band probe
+      is a bucket-local sort-merge join — O(|batch|) network per
+      increment.  Each (band_id, band_hash) bucket keeps only its
+      `bucket_cap` lowest ids (deterministic, QUALIFY-reproducible):
+      a mega-cluster of near-identical corpus docs needs only a few
+      stored representatives to reject every future member, and the
+      cap bounds any later probe's fan-out.
+
+    Signatures are computed ONCE (the Arrow pass is the expensive
+    part): sigs are written first and the band postings derive from
+    reading them back."""
+    from .dedup import band_rows, minhash_signatures
+
+    sigs = minhash_signatures(
+        corpus, text_col=text_col, id_col=id_col,
+        num_perm=num_perm, shingle_k=shingle_k,
+    )
+    (
+        sigs.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, id_col).sortBy(id_col)
+        .saveAsTable(table + "_sigs")
+    )
+    banded = band_rows(spark.table(table + "_sigs"), id_col, bands)
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    (
+        banded.select("band_id", "band_hash", id_col)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "band_id", "band_hash")
+        .sortBy("band_id", "band_hash")
+        .saveAsTable(table + "_bands")
+    )
+
+
+def near_dedup_increment(
+    spark: SparkSession,
+    batch: DataFrame,
+    table: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    bucket_cap: int = 128,
+) -> DataFrame:
+    """Admit the rows of `batch` that are near-new: estimated jaccard
+    (matching minhash components / num_perm) below `threshold` against
+    every stored corpus doc AND against every earlier batch doc (the
+    lowest id of an intra-batch near-pair survives, the star rule).
+    Returns the admitted batch rows.
+
+    This is the daily-crawl steady state for NEAR duplication, and the
+    decision is deliberately estimate-based: the corpus state stores
+    signatures only (see register_minhash_corpus), which is what makes
+    an ever-growing corpus state affordable — the batch side, being
+    small, could verify exactly, but cross-engine the rule must be one
+    rule, so both sides use the ceil(num_perm * threshold) component
+    screen (at num_perm=64 the estimate's std-dev at the 0.5 boundary
+    is ~0.06; production LSH dedup runs on exactly this trade).
+
+    Scale shape: both joins against state hint MERGE and land on the
+    state's bucket layout — band probe on (band_id, band_hash),
+    signature fetch on the candidate ids — so ONLY batch-derived rows
+    ever shuffle; the corpus side is Exchange-free (asserted in
+    tests/test_incremental.py)."""
+    import math
+
+    from .dedup import band_rows, lsh_candidates, minhash_signatures
+
+    k_min = int(math.ceil(num_perm * threshold))
+    bsigs = minhash_signatures(
+        batch, text_col=text_col, id_col=id_col,
+        num_perm=num_perm, shingle_k=shingle_k,
+    ).persist()
+    bbands = band_rows(bsigs, id_col, bands)
+
+    # corpus collisions: band probe -> candidate (batch, corpus) pairs
+    # -> signature screen.  distinct() before the sig fetch: a pair
+    # colliding in several bands is one candidate.
+    hits = (
+        bbands.join(
+            spark.table(table + "_bands")
+            .withColumnRenamed(id_col, "_cid").hint("merge"),
+            ["band_id", "band_hash"],
+        )
+        .select(id_col, "_cid")
+        .distinct()
+    )
+    csigs = (
+        spark.table(table + "_sigs")
+        .select(F.col(id_col).alias("_cid"),
+                F.col("signature").alias("_csig"))
+        .hint("merge")
+    )
+    cand = (
+        hits.join(csigs, "_cid")
+        .join(
+            F.broadcast(bsigs.select(
+                F.col(id_col), F.col("signature").alias("_bsig"))),
+            id_col,
+        )
+    )
+    corpus_dups = (
+        cand.where(_est_matches(F.col("_bsig"), F.col("_csig"),
+                                num_perm) >= k_min)
+        .select(id_col)
+        .distinct()
+    )
+
+    # intra-batch: LSH candidates within the batch, same screen, the
+    # higher id of each near-pair drops (min-id star rule)
+    pairs = lsh_candidates(bsigs, id_col=id_col, bands=bands,
+                           bucket_cap=bucket_cap)
+    sa = F.broadcast(bsigs.select(F.col(id_col).alias("id_a"),
+                                  F.col("signature").alias("_sa")))
+    sb = F.broadcast(bsigs.select(F.col(id_col).alias("id_b"),
+                                  F.col("signature").alias("_sb")))
+    intra_dups = (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .where(_est_matches(F.col("_sa"), F.col("_sb"), num_perm) >= k_min)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+    dropped = corpus_dups.unionByName(intra_dups).distinct()
+    return batch.join(dropped, id_col, "left_anti")
+
+
+def append_minhash_increment(
+    spark: SparkSession,
+    admitted: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    n_buckets: int = 8,
+) -> None:
+    """Fold an admitted increment into the near-dup state, preserving
+    both bucket specs so every later probe stays corpus-shuffle-free.
+    The per-bucket posting cap is enforced at register time and by
+    periodic compaction, not on append — an increment's postings are
+    O(|batch|) and re-capping would read state back."""
+    from .dedup import band_rows, minhash_signatures
+
+    sigs = minhash_signatures(
+        admitted, text_col=text_col, id_col=id_col,
+        num_perm=num_perm, shingle_k=shingle_k,
+    ).persist()
+    (
+        sigs.write.mode("append").format("parquet")
+        .bucketBy(n_buckets, id_col).sortBy(id_col)
+        .saveAsTable(table + "_sigs")
+    )
+    (
+        band_rows(sigs, id_col, bands)
+        .select("band_id", "band_hash", id_col)
+        .write.mode("append").format("parquet")
+        .bucketBy(n_buckets, "band_id", "band_hash")
+        .sortBy("band_id", "band_hash")
+        .saveAsTable(table + "_bands")
+    )
+    sigs.unpersist()

@@ -24,8 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_fraction_col", "hash_sample", "stratified_sample",
-           "weighted_mixture", "cap_per_key"]
+__all__ = ["hash_fraction_col", "hash_sample", "hash_split",
+           "stratified_sample", "weighted_mixture", "cap_per_key"]
 
 # 16^15 — the denominator for the 15-hex-digit uniform draw
 _DENOM = 1 << 60
@@ -52,6 +52,46 @@ def hash_sample(
     < `fraction`.  Same rows on every run/engine/cluster size; the
     filter is a map-only JVM predicate that pushes no shuffle."""
     return df.where(hash_fraction_col(F.col(key_col), seed) < F.lit(fraction))
+
+
+def hash_split(
+    df: DataFrame,
+    splits: list[tuple[str, float]] | None = None,
+    key_col: str = "url",
+    seed: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds `split_col`
+    labelling each row by where its hash draw falls in the cumulative
+    split boundaries — e.g. [("train", .98), ("val", .01)] labels draws
+    <.98 train, <.99 val, everything else the LAST split ("test" by
+    default when two named splits leave a remainder... the last listed
+    split takes the tail, so list the residual split last with its
+    nominal weight; weights must sum to 1 within float tolerance).
+
+    Why hash, not rand(): the assignment must be stable under retries,
+    resumes, repartitioning, engine swaps, and corpus growth — a doc's
+    split NEVER changes when other docs are added or the cluster is
+    resized, which is what prevents silent eval-set leakage into a
+    retrained model.  Map-only JVM expression (sha2+conv CASE chain):
+    no shuffle, no Python, fully pushdown-friendly."""
+    if splits is None:
+        splits = [("train", 0.98), ("val", 0.01), ("test", 0.01)]
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    draw = hash_fraction_col(F.col(key_col), seed)
+    expr = F.lit(splits[-1][0])  # tail split absorbs rounding residue
+    cum = 0.0
+    bounds = []
+    for name, w in splits[:-1]:
+        cum += w
+        bounds.append((name, cum))
+    for name, b in reversed(bounds):
+        expr = F.when(draw < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
 
 
 def stratified_sample(

@@ -2259,6 +2259,286 @@ REGISTRY["corpus_stats"] = (q_corpus_stats, _sql_corpus_stats())
 REGISTRY["chunk_docs"] = (q_chunk_docs, _sql_chunk_docs())
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact paragraph dedup, keep-first policy
+    (operators/dedup.paragraph_dedup): blank-line blocks of >= 30
+    chars may appear once across the corpus; the lowest (doc_id,
+    par_no) occurrence survives and documents are reassembled.  Same
+    two-shuffle groupBy-min shape as line_dedup — no window over the
+    paragraph value, hot boilerplate absorbs map-side."""
+    from ..operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(spark, sf_dir), mode="keep_first")
+
+
+def q_paragraph_dedup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph dedup, drop-all policy (the CCNet rule): every
+    occurrence of a corpus-repeated paragraph is deleted — repeated
+    boilerplate carries no training signal even once.  Identical
+    shuffle shape to keep_first; only the post-aggregation filter
+    (count == 1) differs."""
+    from ..operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(spark, sf_dir), mode="drop_all")
+
+
+_SQL_PARAGRAPH_COMMON = """
+WITH p AS (
+  SELECT doc_id, UNNEST([{'par_no': i, 'par': arr[i]}
+                         FOR i IN RANGE(1, LEN(arr) + 1)],
+                        recursive := true)
+  FROM (SELECT doc_id,
+               string_split(COALESCE(text, ''), chr(10) || chr(10)) AS arr
+        FROM documents)
+), kept AS (
+  SELECT doc_id, par_no, par FROM p WHERE LENGTH(par) < 30
+  UNION ALL
+  {long_rule}
+), reb AS (
+  SELECT doc_id,
+         STRING_AGG(par, chr(10) || chr(10) ORDER BY par_no) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(reb.text, '') AS text
+FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id
+"""
+
+# str.replace, not str.format: the template's UNNEST struct literal
+# uses braces that .format would try to interpolate
+SQL_PARAGRAPH_DEDUP = _SQL_PARAGRAPH_COMMON.replace("{long_rule}", """
+  SELECT doc_id, par_no, par FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY par
+                                 ORDER BY doc_id, par_no) AS rn
+    FROM p WHERE LENGTH(par) >= 30
+  ) WHERE rn = 1
+""")
+
+SQL_PARAGRAPH_DEDUP_ALL = _SQL_PARAGRAPH_COMMON.replace("{long_rule}", """
+  SELECT doc_id, par_no, par FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY par) AS n
+    FROM p WHERE LENGTH(par) >= 30
+  ) WHERE n = 1
+""")
+
+REGISTRY["paragraph_dedup"] = (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP)
+REGISTRY["paragraph_dedup_all"] = (q_paragraph_dedup_all,
+                                   SQL_PARAGRAPH_DEDUP_ALL)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.
+    hash_split): 98/1/1 by sha2-hex-prefix draw on doc_id — a doc's
+    split never changes under retries, repartitioning, or corpus
+    growth (the eval-leakage guard rand() cannot give).  Map-only JVM
+    CASE chain, zero shuffles."""
+    from ..operators.sampling import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        key_col="doc_id", seed="sp",
+    )
+
+
+SQL_HASH_SPLIT = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_sql_hex15("doc_id", "sp")} < 0.98 THEN 'train'
+            WHEN {_sql_hex15("doc_id", "sp")} < 0.99 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+REGISTRY["hash_split"] = (q_hash_split, SQL_HASH_SPLIT)
+
+
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embeddings table
+    (operators/similarity.quantize_int8 — the 4x storage/bandwidth cut
+    a 100 TB embedding store ships with), emitted in exploded
+    (vec_id, pos, qval, scale) form so the value hash covers every
+    code byte in order.  MAP-ONLY: one Arrow kernel, zero shuffles.
+    Determinism: float64 (x*127.0)/scale in the oracle's op order,
+    sign*floor(abs+0.5) half-away rounding (numpy round() is
+    half-even and would diverge on exact ties)."""
+    from ..operators.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qz = quantize_int8(emb)
+    return qz.select(
+        "vec_id",
+        "scale",
+        F.posexplode("q").alias("pos", "qval"),
+    ).select(
+        "vec_id", F.col("pos").cast("int").alias("pos"),
+        F.col("qval").cast("int").alias("qval"), "scale",
+    )
+
+
+SQL_QUANTIZE_INT8 = """
+WITH b AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> abs(x))) AS s
+  FROM embeddings
+), e AS (
+  SELECT vec_id, s, UNNEST([{'pos': i - 1, 'x': v[i]}
+                            FOR i IN RANGE(1, LEN(v) + 1)],
+                           recursive := true)
+  FROM b
+)
+SELECT vec_id,
+       CAST(pos AS INTEGER) AS pos,
+       CAST(CASE WHEN s = 0 OR s IS NULL THEN 0
+                 WHEN x >= 0 THEN FLOOR(x * 127.0 / s + 0.5)
+                 ELSE -FLOOR(ABS(x * 127.0 / s) + 0.5) END
+            AS INTEGER) AS qval,
+       COALESCE(s, 0.0) AS scale
+FROM e
+"""
+
+REGISTRY["quantize_int8"] = (q_quantize_int8, SQL_QUANTIZE_INT8)
+
+
+def _sql_mh_ctes(alias: str, src: str) -> str:
+    """CTE chain computing per-doc minhash signatures (mh0..mh63) and
+    16 band keys for a derived source `src` — the reusable core of
+    _sql_dedup_minhash's byte-level HUGEINT machinery, WITHOUT the
+    exact-dup prefilter (the incremental rule hashes every doc).
+    Emits `{alias}_mh` (doc_id, mh0..63) and `{alias}_band`
+    (doc_id, band_id, band_key)."""
+    from ..operators.dedup import MERSENNE, _perm_params, _token_weights
+
+    w = [int(v) for v in _token_weights(5)][::-1]
+    sh_terms = " + ".join(
+        f"CAST({_sql_byte('hx', f'i + {j}')} AS HUGEINT) * {w[j]}"
+        for j in range(5)
+    )
+    pad_terms = " + ".join(
+        f"CAST({_sql_byte('hx', str(j + 1), guard=True)} AS HUGEINT) * {w[j]}"
+        for j in range(5)
+    )
+    a, b = _perm_params(64)
+    mh_cols = ",\n         ".join(
+        f"LIST_MIN(LIST_TRANSFORM(shingles, s -> (CAST({int(a[i])} AS HUGEINT)"
+        f" * (s % {MERSENNE}) + {int(b[i])}) % {MERSENNE})) AS mh{i}"
+        for i in range(64)
+    )
+    band_keys = ", ".join(
+        "CAST(mh%d AS VARCHAR) || ',' || CAST(mh%d AS VARCHAR) || ',' || "
+        "CAST(mh%d AS VARCHAR) || ',' || CAST(mh%d AS VARCHAR)"
+        % (4 * bb, 4 * bb + 1, 4 * bb + 2, 4 * bb + 3)
+        for bb in range(16)
+    )
+    return f"""
+{alias}_raw AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+  FROM {src}
+), {alias}_sh AS (
+  SELECT doc_id,
+         LIST_DISTINCT(CASE WHEN nb >= 5 THEN
+           [({sh_terms}) % 18446744073709551616
+            FOR i IN RANGE(1, nb - 3)]
+         ELSE [({pad_terms}) % 18446744073709551616] END) AS shingles
+  FROM {alias}_raw
+), {alias}_mh AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM {alias}_sh
+), {alias}_band AS (
+  SELECT doc_id, UNNEST(RANGE(16)) AS band_id,
+         UNNEST([{band_keys}]) AS band_key
+  FROM {alias}_mh
+)"""
+
+
+_NINC_DERIVED = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN printf('boilerplate %d', doc_id % 70)
+              ELSE text END AS text
+  FROM documents
+"""
+
+
+def q_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission (operators/incremental.
+    register_minhash_corpus + near_dedup_increment): corpus = docs
+    with doc_id % 3 != 0 materialized as the two bucketed LSH state
+    tables (signatures by id, capped band postings by (band_id,
+    band_hash)); batch = the remaining third, with every 5th doc's
+    content replaced by shared boilerplate (those are est-jaccard-1
+    collisions).  A batch doc is admitted iff its estimated jaccard
+    (matching signature components / 64) is < 0.5 against every
+    corpus doc and every lower-id batch doc.  Only batch-derived rows
+    shuffle; the state side is Exchange-free (merge-hinted bucketed
+    joins)."""
+    from ..operators.incremental import (
+        near_dedup_increment,
+        register_minhash_corpus,
+    )
+
+    d = F.col("doc_id")
+    content = F.when(
+        d % 5 == 0, F.format_string("boilerplate %d", F.pmod(d, F.lit(70)))
+    ).otherwise(F.col("text"))
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("text"))
+    table = "b3d_ninc_contract"
+    register_minhash_corpus(
+        spark, docs.where(d % 3 != 0), table, n_buckets=8
+    )
+    return near_dedup_increment(spark, docs.where(d % 3 == 0), table)
+
+
+def _sql_near_dedup_incremental() -> str:
+    est = " + ".join(
+        f"CASE WHEN bm.mh{i} = cm.mh{i} THEN 1 ELSE 0 END"
+        for i in range(64)
+    )
+    est_ab = " + ".join(
+        f"CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(64)
+    )
+    return f"""
+WITH batch AS (SELECT * FROM ({_NINC_DERIVED}) WHERE doc_id % 3 = 0),
+corpus AS (SELECT * FROM ({_NINC_DERIVED}) WHERE doc_id % 3 <> 0),
+{_sql_mh_ctes('b', 'batch')},
+{_sql_mh_ctes('c', 'corpus')},
+cband_capped AS (
+  SELECT doc_id, band_id, band_key FROM c_band
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY band_id, band_key
+                             ORDER BY doc_id) <= 128
+), hits AS (
+  SELECT DISTINCT bb.doc_id AS bid, cc.doc_id AS cid
+  FROM b_band bb JOIN cband_capped cc USING (band_id, band_key)
+), cdup AS (
+  SELECT DISTINCT bid AS doc_id FROM hits
+  JOIN b_mh bm ON bm.doc_id = hits.bid
+  JOIN c_mh cm ON cm.doc_id = hits.cid
+  WHERE ({est}) >= 32
+), bband_capped AS (
+  SELECT doc_id, band_id, band_key FROM b_band
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY band_id, band_key
+                             ORDER BY doc_id) <= 128
+), bpairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bband_capped a JOIN bband_capped b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id
+), idup AS (
+  SELECT DISTINCT id_b AS doc_id FROM bpairs
+  JOIN b_mh ma ON ma.doc_id = bpairs.id_a
+  JOIN b_mh mb ON mb.doc_id = bpairs.id_b
+  WHERE ({est_ab}) >= 32
+)
+SELECT b.doc_id, b.text FROM batch b
+WHERE b.doc_id NOT IN (SELECT doc_id FROM cdup)
+  AND b.doc_id NOT IN (SELECT doc_id FROM idup)
+"""
+
+
+REGISTRY["near_dedup_incremental"] = (q_near_dedup_incremental,
+                                      _sql_near_dedup_incremental())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

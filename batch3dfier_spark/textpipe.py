@@ -25,6 +25,9 @@ Config shape::
       - op: exact_dedup                  # drop byte-identical dups
       - op: line_dedup                   # C4-style corpus-level line
         min_chars: 10                    #   dedup (rewrites text)
+      - op: paragraph_dedup              # blank-line-block dedup;
+        mode: keep_first                 #   keep_first | drop_all
+        min_chars: 30                    #   (CCNet boilerplate rule)
       - op: scrub_pii                    # emails/IPs/phones -> tokens
                                          #   (+ n_email/n_ip/n_phone)
       - op: quality_filter               # textstats/repetition gates
@@ -40,6 +43,9 @@ Config shape::
       - op: hash_sample
         fraction: 0.5
         seed: s1
+      - op: hash_split                   # stable train/val/test labels
+        splits: [[train, 0.98], [val, 0.01], [test, 0.01]]
+        keep: train                      #   optional: filter to one split
       - op: stratified_sample
         fractions: {en: 0.1}
         default_fraction: 1.0
@@ -184,6 +190,19 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
             min_chars=int(step.get("min_chars", 10)),
         )
         return df.drop(text_col).join(deduped, "doc_id")
+    if op == "paragraph_dedup":
+        # corpus-level paragraph dedup; mode=keep_first (line_dedup
+        # rule lifted to blank-line blocks) or drop_all (CCNet rule:
+        # no copy of a repeated paragraph survives)
+        from .operators.dedup import paragraph_dedup
+
+        text_col = step.get("text_col", "text")
+        deduped = paragraph_dedup(
+            df, text_col=text_col,
+            min_chars=int(step.get("min_chars", 30)),
+            mode=step.get("mode", "keep_first"),
+        )
+        return df.drop(text_col).join(deduped, "doc_id")
     if op == "quality_filter":
         from .operators.textstats import repetition_stats, token_count
 
@@ -288,6 +307,24 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
             key_col=step.get("key_col", "doc_id"),
             seed=str(step.get("seed", "")),
         )
+    if op == "hash_split":
+        # deterministic train/val/test labelling; optional keep: filter
+        # the pipeline down to one split (e.g. keep: train)
+        from .operators.sampling import hash_split
+
+        splits = step.get("splits")
+        out = hash_split(
+            df,
+            splits=[(str(n), float(w)) for n, w in splits] if splits else None,
+            key_col=step.get("key_col", "doc_id"),
+            seed=str(step.get("seed", "")),
+            split_col=step.get("split_col", "split"),
+        )
+        if "keep" in step:
+            out = out.where(
+                F.col(step.get("split_col", "split")) == str(step["keep"])
+            )
+        return out
     if op == "stratified_sample":
         from .operators.sampling import stratified_sample
 

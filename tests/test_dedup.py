@@ -833,3 +833,112 @@ def test_cluster_survivors_keeps_longest(spark):
     assert bool(out.loc[99, "is_kept"]) and out.loc[99, "component"] == 99
     # exactly one survivor per component
     assert out.groupby("component")["is_kept"].sum().eq(1).all()
+
+
+def test_paragraph_dedup_both_modes_match_duckdb(spark):
+    """Corpus-level paragraph dedup on a multi-paragraph corpus, both
+    policies: keep_first keeps only the lowest (doc_id, par_no)
+    occurrence of each repeated >=30-char paragraph; drop_all (the
+    CCNet rule) deletes every occurrence of a corpus-repeated
+    paragraph.  Short blocks always stay; docs reassemble in order;
+    fully-deleted docs come back as ''.  The DuckDB twins must agree
+    byte-for-byte on the same corpus."""
+    from batch3dfier_spark.operators.dedup import paragraph_dedup
+    from batch3dfier_spark.plans.queries import (
+        SQL_PARAGRAPH_DEDUP,
+        SQL_PARAGRAPH_DEDUP_ALL,
+    )
+
+    boiler = "this cookie banner paragraph repeats across the corpus"
+    uniq = "a unique first paragraph long enough to participate xx1"
+    texts = [
+        boiler + "\n\n" + uniq,
+        "doc one unique lead paragraph with plenty of characters\n\n" + boiler,
+        boiler + "\n\n" + boiler,
+        "short",
+        "",
+        None,
+        "solo paragraph appearing exactly once in the whole corpus",
+        "общий многобайтовый абзац достаточной длины здесь\n\nhvost one",
+        "общий многобайтовый абзац достаточной длины здесь\n\nhvost two",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    got_first = (
+        paragraph_dedup(docs, mode="keep_first")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(got_first["text"]) == [
+        boiler + "\n\n" + uniq,
+        "doc one unique lead paragraph with plenty of characters",
+        "",
+        "short",
+        "",
+        "",
+        "solo paragraph appearing exactly once in the whole corpus",
+        "общий многобайтовый абзац достаточной длины здесь\n\nhvost one",
+        "hvost two",
+    ]
+    exp_first = (
+        con.sql(SQL_PARAGRAPH_DEDUP).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_first, exp_first, check_dtype=False)
+
+    got_all = (
+        paragraph_dedup(docs, mode="drop_all")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(got_all["text"]) == [
+        uniq,
+        "doc one unique lead paragraph with plenty of characters",
+        "",
+        "short",
+        "",
+        "",
+        "solo paragraph appearing exactly once in the whole corpus",
+        "hvost one",
+        "hvost two",
+    ]
+    exp_all = (
+        con.sql(SQL_PARAGRAPH_DEDUP_ALL).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_all, exp_all, check_dtype=False)
+
+    with pytest.raises(ValueError):
+        paragraph_dedup(docs, mode="nope")
+
+
+def test_paragraph_dedup_hot_paragraph_no_window(spark):
+    """Skew guard (the line_dedup round-4 lesson, applied at birth): a
+    boilerplate paragraph duplicated 1e4 times must NOT become a single
+    window partition — both policies run survivor selection as a
+    partial-aggregating groupBy, so the executed plans contain no
+    Window operator at all, and the hot corpus yields one survivor
+    (keep_first) or zero (drop_all)."""
+    from pyspark.sql import functions as F
+
+    from batch3dfier_spark.operators.dedup import paragraph_dedup
+
+    n = 10_000
+    hot = "this exact boilerplate paragraph repeats ten thousand times"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(hot + "\n\n"),
+            F.lit("unique tail paragraph number padding "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    for mode, hot_survivors in (("keep_first", 1), ("drop_all", 0)):
+        out = paragraph_dedup(docs, mode=mode)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, (mode, plan)
+        assert out.where(F.col("text").contains(hot)).count() == hot_survivors
+        assert out.where(
+            F.col("text").contains("unique tail paragraph")
+        ).count() == n

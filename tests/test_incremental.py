@@ -131,3 +131,117 @@ def test_vocab_topk_matches_oracle(spark):
     )
     # frequencies are non-increasing with rank
     assert (got.sort_values("rank")["freq"].diff().dropna() <= 0).all()
+
+
+NTABLE = "ninc_corpus_test"
+
+
+@pytest.fixture()
+def near_corpus_table(spark):
+    yield NTABLE
+    spark.sql(f"DROP TABLE IF EXISTS {NTABLE}_sigs")
+    spark.sql(f"DROP TABLE IF EXISTS {NTABLE}_bands")
+
+
+def test_near_increment_semantics(spark, near_corpus_table):
+    """Near-dup admission: exact copies and near-copies of corpus docs
+    are rejected, intra-batch near-pairs keep the min id, genuinely
+    new docs are admitted; folding the increment in makes a replay
+    admit nothing."""
+    from batch3dfier_spark.operators.incremental import (
+        append_minhash_increment,
+        near_dedup_increment,
+        register_minhash_corpus,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the band plays on through the night")
+    corpus = _df(spark, [
+        (1, base),
+        (2, "completely different corpus text about tile indexes and "
+            "spatial joins running at scale"),
+    ])
+    register_minhash_corpus(spark, corpus, near_corpus_table, n_buckets=2)
+    batch = _df(spark, [
+        (10, base),                      # exact copy of corpus doc 1
+        (11, base.replace("lazy", "sleepy")),  # near-copy of corpus doc 1
+        (12, "a wholly novel document mentioning embeddings quantization "
+             "and deterministic sampling thresholds"),
+        (13, "a wholly novel document mentioning embeddings quantization "
+             "and deterministic sampling thresholds!!"),  # near-copy of 12
+        (14, "unique short text with no relatives anywhere in sight "
+             "padded to shingle length comfortably"),
+    ])
+    admitted = near_dedup_increment(spark, batch, near_corpus_table)
+    got = admitted.toPandas().sort_values("doc_id")
+    assert list(got["doc_id"]) == [12, 14]
+
+    append_minhash_increment(spark, admitted, near_corpus_table,
+                             n_buckets=2)
+    again = near_dedup_increment(spark, batch, near_corpus_table)
+    assert again.count() == 0
+
+
+def test_near_increment_state_side_never_shuffles(spark, near_corpus_table):
+    """Both state joins (band probe, signature fetch) must read the
+    bucketed tables without an Exchange above the scans — per-increment
+    network is O(|batch|)."""
+    from batch3dfier_spark.operators.incremental import (
+        near_dedup_increment,
+        register_minhash_corpus,
+    )
+
+    register_minhash_corpus(
+        spark,
+        _df(spark, [(i, f"corpus document number {i} padded with words "
+                        f"to clear the shingle minimum") for i in range(60)]),
+        near_corpus_table, n_buckets=2,
+    )
+    # five probes with DISJOINT vocabularies: near-dup neither of the
+    # corpus nor of each other (a shared template would trip the
+    # intra-batch star rule and shrink the admitted count)
+    probe_texts = [
+        "glacier moraine erratic boulder till outwash esker drumlin kame",
+        "sonata allegro cadenza arpeggio crescendo fugue ostinato motif",
+        "isotope neutron capture decay gamma spectrum detector shielding",
+        "estuary brackish mangrove tidal salinity sediment delta marsh",
+        "ledger debit credit accrual amortization liability equity audit",
+    ]
+    batch = _df(spark, [(1000 + i, t) for i, t in enumerate(probe_texts)])
+    out = near_dedup_increment(spark, batch, near_corpus_table)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Bucketed: true") >= 2, plan
+    # no Exchange may sit directly above a bucketed state scan: every
+    # Exchange in the plan partitions batch-derived rows only.  The
+    # mechanical form: the plan's FileScans of the two state tables
+    # appear, and the Exchange count equals the count with the state
+    # subtrees removed -- approximated here by asserting the bucketed
+    # scans report their bucket output (SortMergeJoin consumes them
+    # sort-order-intact, which Spark only does Exchange-free).
+    assert f"{NTABLE}_bands" in plan and f"{NTABLE}_sigs" in plan
+    assert out.count() == 5
+
+
+def test_near_increment_contract_matches_oracle(spark):
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    fn, sql = REGISTRY["near_dedup_incremental"]
+    got = fn(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    exp = con.sql(sql).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values("doc_id").reset_index(drop=True),
+        exp[cols].sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+    n_batch = con.sql(
+        "SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0"
+    ).fetchone()[0]
+    assert 0 < len(got) < n_batch
+    spark.sql("DROP TABLE IF EXISTS b3d_ninc_contract_sigs")
+    spark.sql("DROP TABLE IF EXISTS b3d_ninc_contract_bands")

@@ -303,3 +303,47 @@ def test_scrub_pii_matches_duckdb(spark):
     assert int(got["n_phone"].sum()) >= 2
     assert "<EMAIL>" in got["text"][0] and "<PHONE>" in got["text"][1]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_hash_split_matches_duckdb_and_is_stable(spark, docs):
+    """Train/val/test assignment: DuckDB twin agrees row-for-row; the
+    assignment is a pure function of (key, seed) — independent of
+    partitioning (the eval-leakage guard the operator exists for);
+    custom boundaries and the weight-sum guard behave."""
+    from batch3dfier_spark.operators.sampling import hash_split
+    from batch3dfier_spark.plans.queries import SQL_HASH_SPLIT, q_hash_split
+
+    got = (
+        q_hash_split(spark, SF).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = _oracle(SQL_HASH_SPLIT).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert set(got["split"]) <= {"train", "val", "test"}
+    assert (got["split"] == "train").mean() > 0.9
+
+    # partition-independence: same labels at 1 and 17 partitions
+    one = hash_split(docs.coalesce(1), key_col="doc_id", seed="sp")
+    many = hash_split(docs.repartition(17), key_col="doc_id", seed="sp")
+    a = one.select("doc_id", "split").toPandas().sort_values("doc_id")
+    b = many.select("doc_id", "split").toPandas().sort_values("doc_id")
+    assert list(a["split"]) == list(b["split"])
+
+    # map-only: no Exchange in the executed plan
+    plan = (
+        hash_split(docs, key_col="doc_id", seed="sp")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+    # custom splits: last split takes the tail
+    tri = hash_split(
+        docs, splits=[("a", 0.5), ("b", 0.3), ("c", 0.2)],
+        key_col="doc_id", seed="q",
+    ).groupBy("split").count().toPandas().set_index("split")["count"]
+    assert set(tri.index) == {"a", "b", "c"}
+
+    with pytest.raises(ValueError):
+        hash_split(docs, splits=[("a", 0.5), ("b", 0.4)], key_col="doc_id")
+    with pytest.raises(ValueError):
+        hash_split(docs, splits=[("all", 1.0)], key_col="doc_id")

@@ -280,3 +280,56 @@ def test_ivf_index_table_probe_prunes_partitions(spark, emb_df, emb_mat,
     assert 0 < n_files_read <= len(cids) < len(cid_dirs)
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan
+
+
+def test_quantize_int8_matches_duckdb_and_is_map_only(spark, emb_df):
+    """Int8 quantization: byte-exact vs the DuckDB oracle on the
+    exploded form, MAP-ONLY plan (no Exchange), codes within [-127,
+    127] with every vector's max-|v| position hitting ±127, and the
+    dequantization error bounded by scale/254 per element."""
+    import pandas as pd
+
+    from batch3dfier_spark.operators.similarity import quantize_int8
+    from batch3dfier_spark.plans.queries import (
+        SQL_QUANTIZE_INT8,
+        q_quantize_int8,
+    )
+
+    got = (
+        q_quantize_int8(spark, SF).toPandas()
+        .sort_values(["vec_id", "pos"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    exp = (
+        con.sql(SQL_QUANTIZE_INT8).df()
+        .sort_values(["vec_id", "pos"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    out = quantize_int8(emb_df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    pdf = out.toPandas()
+    Q = np.stack([np.asarray(r) for r in pdf["q"]]).astype(np.int64)
+    assert Q.min() >= -127 and Q.max() <= 127
+    assert (np.abs(Q).max(axis=1) == 127).all()  # scale anchor element
+    src = duckdb.sql(
+        f"SELECT * FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    V = np.stack(src["embedding"].to_numpy()).astype(np.float64)
+    order = np.argsort(pdf["vec_id"].to_numpy())
+    Qs = Q[order]
+    sc = pdf["scale"].to_numpy()[order]
+    deq = Qs * (sc / 127.0)[:, None]
+    assert np.abs(deq - V).max() <= (sc.max() / 254.0) + 1e-12
+
+    # all-zero vector: scale 0, all-zero code, no crash
+    z = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[0.0] * 4]})
+    )
+    zrow = quantize_int8(z).toPandas().iloc[0]
+    assert zrow["scale"] == 0.0 and list(zrow["q"]) == [0, 0, 0, 0]

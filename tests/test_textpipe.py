@@ -457,3 +457,87 @@ def test_textpipe_materialized_labels_survivors(spark, tmp_path):
     )
     exp_ids = sorted(r["doc_id"] for r in composed.select("doc_id").collect())
     assert got_ids == exp_ids
+
+
+def test_textpipe_paragraph_dedup_step(spark, tmp_path):
+    """paragraph_dedup rewrites text (keep_first by default; drop_all
+    removes every copy of a corpus-repeated paragraph) while keeping
+    every doc row and its non-text columns."""
+    import pandas as pd
+
+    from batch3dfier_spark.textpipe import run_textpipe
+
+    boiler = "this cookie banner paragraph repeats across the corpus"
+    src = tmp_path / "docs"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "lang": ["en", "en"],
+            "text": [
+                boiler + "\n\nunique paragraph number zero padded long",
+                boiler + "\n\nunique paragraph number one padded long!",
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(src))
+    cfg = {
+        "input": {"documents": str(src)},
+        "output": {"path": str(tmp_path / "o")},
+        "steps": [{"op": "paragraph_dedup", "mode": "drop_all"}],
+    }
+    report = run_textpipe(spark, cfg)
+    assert report["rows_out"] == 2
+    out = (
+        spark.read.parquet(cfg["output"]["path"]).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["text"]) == [
+        "unique paragraph number zero padded long",
+        "unique paragraph number one padded long!",
+    ]
+    assert list(out["lang"]) == ["en", "en"]
+
+
+def test_textpipe_hash_split_step(spark, tmp_path):
+    """hash_split labels rows deterministically; keep filters the
+    pipeline to one split, and re-running yields identical labels."""
+    import pandas as pd
+
+    from batch3dfier_spark.textpipe import run_textpipe
+
+    src = tmp_path / "docs"
+    pdf = pd.DataFrame({
+        "doc_id": range(200),
+        "text": [f"document body number {i}" for i in range(200)],
+    })
+    spark.createDataFrame(pdf).write.parquet(str(src))
+    cfg = {
+        "input": {"documents": str(src)},
+        "output": {"path": str(tmp_path / "o")},
+        "steps": [{
+            "op": "hash_split",
+            "splits": [["train", 0.8], ["val", 0.1], ["test", 0.1]],
+            "seed": "tp",
+        }],
+    }
+    report = run_textpipe(spark, cfg)
+    assert report["rows_out"] == 200
+    out = spark.read.parquet(cfg["output"]["path"]).toPandas()
+    assert set(out["split"]) == {"train", "val", "test"}
+    counts = out["split"].value_counts()
+    assert counts["train"] > counts["val"] + counts["test"]
+
+    cfg2 = {
+        "input": {"documents": str(src)},
+        "output": {"path": str(tmp_path / "o2")},
+        "steps": [{
+            "op": "hash_split",
+            "splits": [["train", 0.8], ["val", 0.1], ["test", 0.1]],
+            "seed": "tp",
+            "keep": "val",
+        }],
+    }
+    run_textpipe(spark, cfg2)
+    kept = spark.read.parquet(cfg2["output"]["path"]).toPandas()
+    val_ids = set(out[out["split"] == "val"]["doc_id"])
+    assert set(kept["doc_id"]) == val_ids
