@@ -41,6 +41,8 @@ __all__ = [
     "vocab_topk",
     "corpus_stats",
     "sql_corpus_stats",
+    "c4_line_filter",
+    "sql_c4_line_filter",
 ]
 
 # language marker words (tiny stopword lists; the n-gram-heuristic
@@ -461,4 +463,107 @@ SELECT {strata},
        CAST(SUM({tc}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
 FROM {table}
 GROUP BY {strata}
+"""
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning rule (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning", section 2.2 — the public recipe
+    behind the C4 corpus), the step a web-text pipeline runs BEFORE
+    any dedup.  No reference analog (batch3dfier has no text surface);
+    this is part of the training-data operator family the build brief
+    mandates.
+
+    Document-level drops (the whole page goes):
+      - page contains 'lorem ipsum' (any case) — placeholder text;
+      - page contains '{' — leaked code/templates.
+    Line-level keeps (lines are whitespace-trimmed first):
+      - ends in a terminal punctuation mark ('.', '!', '?', '"');
+      - has >= min_words whitespace-separated words;
+      - does not contain 'javascript' (any case).
+    Pages with fewer than min_lines surviving lines are dropped (C4
+    counted sentences; kept lines are the deterministic proxy).
+
+    Returns (id_col, text_col, n_kept) for surviving pages only, the
+    page reassembled from its kept lines in order.
+
+    Scale shape: the two document-level predicates are map-only string
+    scans that PUSH DOWN to the parquet read; the line tests are pure
+    JVM regexp/length expressions after one posexplode; the only
+    shuffle is the groupBy(id) reassembly, whose groups are bounded by
+    document size — no corpus-level hot key can exist (contrast
+    line_dedup, which must group by the LINE value and therefore needs
+    the map-side-combine survivor shape).  No Python, no HOF lambdas:
+    word counts come from regexp_extract_all + size.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.where(
+        ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+    lines = base.select(
+        F.col(id_col),
+        F.posexplode(F.split(text, "\n", -1)).alias("line_no", "_raw"),
+    ).select(
+        id_col, "line_no", F.trim(F.col("_raw")).alias("line")
+    )
+    kept = lines.where(
+        F.col("line").rlike('[.!?"]$')
+        & (F.size(F.regexp_extract_all(F.col("line"), F.lit(r"(\S+)"), 1))
+           >= min_words)
+        & ~F.lower(F.col("line")).contains("javascript")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("line_no", "line"))
+            ).alias("_ls"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
+        .where(F.col("n_kept") >= min_lines)
+        .select(
+            F.col(id_col),
+            F.concat_ws("\n", F.col("_ls")["line"]).alias(text_col),
+            "n_kept",
+        )
+    )
+
+
+def sql_c4_line_filter(
+    min_words: int = 5,
+    min_lines: int = 3,
+    text: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of c4_line_filter.  Shared-subset semantics: the
+    terminal-punctuation class and the word regex '\\S+' mean the same
+    thing in java.regex and RE2; TRIM strips U+0020 in both engines."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, COALESCE({text}, '') AS text FROM {table}
+  WHERE LOWER(COALESCE({text}, '')) NOT LIKE '%lorem ipsum%'
+    AND COALESCE({text}, '') NOT LIKE '%{{%'
+), l AS (
+  SELECT doc_id, UNNEST([{{'line_no': i - 1, 'line': TRIM(arr[i])}}
+                         FOR i IN RANGE(1, LEN(arr) + 1)],
+                        recursive := true)
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM docs)
+), kept AS (
+  SELECT doc_id, line_no, line FROM l
+  WHERE regexp_matches(line, '[.!?"]$')
+    AND LEN(regexp_extract_all(line, '\\S+')) >= {min_words}
+    AND LOWER(line) NOT LIKE '%javascript%'
+)
+SELECT doc_id,
+       STRING_AGG(line, chr(10) ORDER BY line_no) AS {text},
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY doc_id
+HAVING COUNT(*) >= {min_lines}
 """

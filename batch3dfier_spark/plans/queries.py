@@ -2539,6 +2539,57 @@ REGISTRY["near_dedup_incremental"] = (q_near_dedup_incremental,
                                       _sql_near_dedup_incremental())
 
 
+# engine-shared injection SQL (runs verbatim under Spark selectExpr AND
+# DuckDB): turns the single-line fixture docs into 5..7-line pages with
+# a deterministic mix of C4 keeps and drops — terminal punctuation only
+# on even doc_ids' first line, a too-short line, a 'javascript' line, a
+# no-punctuation multibyte dash line, plus page-level 'lorem ipsum'
+# (doc_id%17) and '{' (doc_id%19) poison pages
+_C4_INJECT = (
+    "substr(text, 1, 60) || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END"
+    " || chr(10) || 'Buy now'"
+    " || chr(10) || 'Enable javascript to view ' || substr(text, 1, 20) || '.'"
+    " || chr(10) || substr(text, 11, 50) || ' end of line two.'"
+    " || chr(10) || CASE WHEN doc_id % 3 <> 1"
+    "               THEN substr(text, 6, 45) || ' tail line three.'"
+    "               ELSE '—' END"
+    " || CASE WHEN doc_id % 17 = 0"
+    "    THEN chr(10) || 'Lorem Ipsum dolor sit amet consectetur adipiscing.'"
+    "    ELSE '' END"
+    " || CASE WHEN doc_id % 19 = 0"
+    "    THEN chr(10) || 'config { nested } block noted here.'"
+    "    ELSE '' END"
+)
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level page cleaning (operators/textstats.c4_line_filter,
+    Raffel et al. 2020 section 2.2): the fixture docs are single-line
+    with no punctuation, so engine and oracle first derive the SAME
+    multi-line pages (the _C4_INJECT expression is shared SQL, run
+    verbatim by both), then apply the rules — terminal-punctuation +
+    min-words + no-javascript per line, lorem-ipsum / '{' page drops,
+    and a minimum surviving-line count.  The value hash covers the
+    reassembled page text byte-for-byte."""
+    from ..operators.textstats import c4_line_filter
+
+    injected = _docs(spark, sf_dir).selectExpr(
+        "doc_id", _C4_INJECT + " AS text"
+    )
+    return c4_line_filter(injected, min_words=5, min_lines=2)
+
+
+def _sql_c4_clean() -> str:
+    from ..operators.textstats import sql_c4_line_filter
+
+    inj = (f"(SELECT doc_id, {_C4_INJECT} AS text FROM documents)"
+           " AS injected")
+    return sql_c4_line_filter(min_words=5, min_lines=2, table=inj)
+
+
+REGISTRY["c4_clean"] = (q_c4_clean, _sql_c4_clean())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

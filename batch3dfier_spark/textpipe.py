@@ -203,6 +203,19 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
             mode=step.get("mode", "keep_first"),
         )
         return df.drop(text_col).join(deduped, "doc_id")
+    if op == "c4_filter":
+        # C4 line-level cleaning (Raffel et al. 2020 sec 2.2): drops
+        # poison pages, keeps punctuation-terminated >=min_words lines,
+        # drops pages left with < min_lines lines; runs BEFORE dedup
+        from .operators.textstats import c4_line_filter
+
+        text_col = step.get("text_col", "text")
+        cleaned = c4_line_filter(
+            df, text_col=text_col,
+            min_words=int(step.get("min_words", 5)),
+            min_lines=int(step.get("min_lines", 3)),
+        ).drop("n_kept")
+        return df.drop(text_col).join(cleaned, "doc_id")
     if op == "quality_filter":
         from .operators.textstats import repetition_stats, token_count
 
