@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -783,6 +784,42 @@ def merge_scaling(runs_dir: str) -> dict:
                 "pipeline_rows_per_sec": round(
                     3 * SCALING_PAGES / total, 1)}
 
+    def _median_merge(level: int) -> dict | None:
+        # ESTIMATOR NOTE: per-side min-merge is ratchet-asymmetric —
+        # one lucky quiet window on the narrow side permanently lowers
+        # its floor, while the wide side must REPRODUCE a matching
+        # window to keep up, so the min-based composite tracks which
+        # side last got lucky, not the job's scalability (demonstrated
+        # by the farmed children: 32-core children with ~1.6 co-tenant
+        # cores repeatedly BEAT fully clean ones).  The median over
+        # clean children is window-luck-robust in both directions and
+        # is reported alongside the minima.
+        sel = [c for c in children
+               if c.get("cores") == level
+               and c.get("clean") and "co_tenant_cores_avg" in c]
+        if not sel:
+            return None
+        total = round(statistics.median([c["total_sec"] for c in sel]), 3)
+        return {"total_sec": total, "n_children": len(sel),
+                "pipeline_rows_per_sec": round(
+                    3 * SCALING_PAGES / total, 1)}
+
+    def _clean_pairs() -> list[dict]:
+        # same-invocation (8, 32) pairs where BOTH children are clean:
+        # the two levels saw the closest-possible host conditions
+        by_file: dict[str, list[dict]] = {}
+        for c in children:
+            if c.get("clean") and "co_tenant_cores_avg" in c:
+                by_file.setdefault(c["file"], []).append(c)
+        pairs = []
+        for fn, cs in sorted(by_file.items()):
+            eights = sorted(c["total_sec"] for c in cs if c["cores"] == 8)
+            wides = sorted(c["total_sec"] for c in cs if c["cores"] == 32)
+            for t8, t32 in zip(eights, wides):
+                pairs.append({"file": fn, "total_8": t8, "total_32": t32,
+                              "eff": round(t8 / (4.0 * t32), 3)})
+        return pairs
+
     out = {"metric": "scaling_merged_8_to_32", "unit": "ratio",
            "pages": SCALING_PAGES, "files": [os.path.basename(f) for f in files],
            "clean_co_tenant_cores": CLEAN_CO_TENANT_CORES}
@@ -794,6 +831,17 @@ def merge_scaling(runs_dir: str) -> dict:
                  / m8["pipeline_rows_per_sec"]) / 4.0, 3)
             out[f"eff_{tag}"] = eff
             out[f"merge_{tag}"] = {"8": m8, "32": m32}
+    md8, md32 = _median_merge(8), _median_merge(32)
+    if md8 and md32:
+        out["eff_clean_median"] = round(
+            md8["total_sec"] / (4.0 * md32["total_sec"]), 3)
+        out["median_clean"] = {"8": md8, "32": md32}
+    pairs = _clean_pairs()
+    if pairs:
+        out["clean_pairs"] = pairs
+        out["eff_clean_pair_best"] = max(p["eff"] for p in pairs)
+        out["eff_clean_pair_median"] = round(
+            statistics.median([p["eff"] for p in pairs]), 3)
     out["value"] = out.get("eff_clean", out.get("eff_all"))
     out["children"] = [
         {k: c.get(k) for k in
