@@ -2590,6 +2590,125 @@ def _sql_c4_clean() -> str:
 REGISTRY["c4_clean"] = (q_c4_clean, _sql_c4_clean())
 
 
+def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/winnow.winnow_fingerprints,
+    Schleimer et al. SIGMOD'03): word-4-gram polynomial hashes, window
+    of 5, rightmost-minimum selection.  Map-only — the extraction
+    itself has no shuffle; the oracle recomputes token hashes
+    (byte-level, hex(encode())), gram hashes (HUGEINT split-multiply
+    mod 2^64) and the window selection exactly."""
+    from ..operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), n=4, w=5)
+
+
+def _sql_mul64(e: str, q: int) -> str:
+    """HUGEINT-safe `({e}) * {q} mod 2^64` for e < 2^64: split q into
+    32-bit halves so no intermediate exceeds 2^97 (HUGEINT holds
+    2^127).  (a*qhi*2^32) mod 2^64 == ((a*qhi) mod 2^32)*2^32; the
+    caller applies the final % 2^64 after summing terms (mod is
+    additive, so per-term reduction is unnecessary)."""
+    qhi, qlo = q >> 32, q & 0xFFFFFFFF
+    return (f"((({e}) * {qhi}) % 4294967296) * 4294967296"
+            f" + ({e}) * {qlo}")
+
+
+def _sql_winnow_sel(n: int, w: int, table: str = "documents") -> str:
+    """Shared winnowing CTE chain ending in `sel` = (doc_id, t, pos,
+    mh): per-window rightmost-minimum gram selections.  Token hashes
+    are the simhash byte-level construction; gram hashes combine them
+    with golden-gamma powers via _sql_mul64; zero-padding past the
+    last token mirrors the engine's short-doc rule."""
+    from ..operators.dedup import _TOKEN_MAX_BYTES, _token_weights
+    from ..operators.winnow import _gram_weights
+
+    tw = [int(v) for v in _token_weights(_TOKEN_MAX_BYTES)]
+    tok_terms = " + ".join(
+        f"CAST({_sql_byte('h', str(j + 1), guard=True)} AS HUGEINT) * {tw[j]}"
+        for j in range(_TOKEN_MAX_BYTES)
+    )
+    gw = [int(v) for v in _gram_weights(n)]
+    gram_terms = " + ".join(
+        f"CASE WHEN pos + {j + 1} <= m"
+        f" THEN {_sql_mul64(f'hs[pos + {j + 1}]', gw[j])} ELSE 0 END"
+        for j in range(n)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(COALESCE(text, ''))) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') END AS tk
+  FROM {table}
+), th AS (
+  SELECT doc_id, LEN(tk) AS m,
+         LIST_TRANSFORM(LIST_TRANSFORM(tk, t -> hex(encode(t))),
+                        h -> ({tok_terms}) % 18446744073709551616) AS hs
+  FROM toks WHERE LEN(tk) > 0
+), g AS (
+  SELECT doc_id, m, GREATEST(m - {n} + 1, 1) AS gcnt, u.i AS pos,
+         ({gram_terms}) % 18446744073709551616 AS h
+  FROM th, UNNEST(RANGE(0, GREATEST(m - {n} + 1, 1))) AS u(i)
+), win AS (
+  SELECT doc_id, pos AS t,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {w - 1} FOLLOWING) AS mh
+  FROM g
+  QUALIFY pos <= GREATEST(gcnt - {w}, 0)
+), sel AS (
+  SELECT w2.doc_id, w2.t, MAX(g.pos) AS pos, w2.mh
+  FROM win w2 JOIN g ON g.doc_id = w2.doc_id
+        AND g.pos BETWEEN w2.t AND w2.t + {w - 1} AND g.h = w2.mh
+  GROUP BY w2.doc_id, w2.t, w2.mh
+)"""
+
+
+def _sql_winnow_fps() -> str:
+    return f"""{_sql_winnow_sel(4, 5)}
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(CASE WHEN mh >= 9223372036854775808
+                 THEN mh - 18446744073709551616
+                 ELSE mh END AS BIGINT) AS fp
+FROM sel
+"""
+
+
+REGISTRY["winnow_fps"] = (q_winnow_fps, _sql_winnow_fps())
+
+
+def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style shared-fingerprint pairs
+    (operators/winnow.winnow_dup_pairs): docs sharing >= 2 distinct
+    winnowing fingerprints, per-fp buckets capped to the 128 lowest
+    ids (QUALIFY-mirrored) before pairing."""
+    from ..operators.winnow import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        _docs(spark, sf_dir), n=4, w=5, min_shared=2, bucket_cap=128
+    )
+
+
+def _sql_winnow_dups() -> str:
+    return f"""{_sql_winnow_sel(4, 5)}
+, fp AS (
+  SELECT DISTINCT doc_id, mh FROM sel
+), capped AS (
+  SELECT doc_id, mh FROM fp
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY mh ORDER BY doc_id) <= 128
+)
+SELECT id_a, id_b, n_shared FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM capped a JOIN capped b ON a.mh = b.mh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+) WHERE n_shared >= 2
+"""
+
+
+REGISTRY["winnow_dups"] = (q_winnow_dups, _sql_winnow_dups())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
