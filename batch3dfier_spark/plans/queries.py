@@ -2709,6 +2709,30 @@ SELECT id_a, id_b, n_shared FROM (
 REGISTRY["winnow_dups"] = (q_winnow_dups, _sql_winnow_dups())
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-BM25 top-5 retrieval (operators/bm25.bm25_topk): docs
+    with doc_id % 97 == 0 play the query set (their full text as a
+    set-of-words query); corpus-side stats are restricted to the
+    broadcast query vocabulary; selection is the two-level salted
+    top-k the module docstring proves equal to a single ranking."""
+    from ..operators.bm25 import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    qs = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    return bm25_topk(docs, qs, k=5)
+
+
+def _sql_bm25_topk() -> str:
+    from ..operators.bm25 import sql_bm25_topk
+
+    return sql_bm25_topk(k=5)
+
+
+REGISTRY["bm25_topk"] = (q_bm25_topk, _sql_bm25_topk())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
