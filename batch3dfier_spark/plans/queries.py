@@ -2733,6 +2733,26 @@ def _sql_bm25_topk() -> str:
 REGISTRY["bm25_topk"] = (q_bm25_topk, _sql_bm25_topk())
 
 
+def q_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style target-domain affinity scoring
+    (operators/affinity.target_affinity): target slice = the 'en'
+    docs; every doc scored by the ppm-difference of its tokens'
+    target-vs-raw unigram frequencies, kept iff mean >= 0."""
+    from ..operators.affinity import target_affinity
+
+    docs = _docs(spark, sf_dir)
+    return target_affinity(docs, F.col("lang") == "en", threshold_q=0)
+
+
+def _sql_target_affinity() -> str:
+    from ..operators.affinity import sql_target_affinity
+
+    return sql_target_affinity("lang = 'en'", threshold_q=0)
+
+
+REGISTRY["target_affinity"] = (q_target_affinity, _sql_target_affinity())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
