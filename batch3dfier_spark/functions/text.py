@@ -26,11 +26,35 @@ _TITLE_RE = "<title>(.*?)</title>"
 _BODY_RE = "<body>(.*?)</body>"
 
 
+def _first_between(s: Column, open_tag: str, close_tag: str) -> Column:
+    """Text between the FIRST `open_tag` and the next `close_tag`
+    ('' when either is absent) — plain indexOf + substring, no regex.
+
+    Equivalent to regexp_extract(s, open_tag + '(.*?)' + close_tag, 1)
+    on the corpus contract (render_html_np: one occurrence per tag, no
+    newline inside a tag span; the lazy-dot regex and first-indexOf
+    agree everywhere except regex's refusal to cross '\\n').  The
+    regex form was the scaling pipeline's allocation hot spot: two
+    java.util.regex lazy-dot matchers per page allocate Matcher +
+    backtracking state per row, and at 32 threads on one local-mode
+    heap the GC overhead grows superlinearly with width — indexOf
+    keeps the stage in zero-garbage codegen."""
+    p = F.locate(open_tag, s)  # 1-based; 0 when absent
+    start = p + len(open_tag)
+    # first close tag anywhere: on the contract input it can only sit
+    # after the first open tag, and the q < start guard rejects the
+    # malformed orderings instead of emitting a negative-length slice
+    q = F.locate(close_tag, s)
+    return F.when(
+        (p > 0) & (q >= start), F.substr(s, start, q - start)
+    ).otherwise(F.lit(""))
+
+
 def extract_text_cols(html: Column) -> Column:
     """html binary column -> extracted text column (pure JVM expressions)."""
     s = F.decode(html, "UTF-8")
-    title = F.regexp_extract(s, _TITLE_RE, 1)
-    body = F.regexp_extract(s, _BODY_RE, 1)
+    title = _first_between(s, "<title>", "</title>")
+    body = _first_between(s, "<body>", "</body>")
     return F.concat(title, F.lit("\n"), F.replace(body, F.lit(". "), F.lit(".\n")))
 
 

@@ -25,7 +25,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hash_fraction_col", "hash_sample", "hash_split",
-           "stratified_sample", "weighted_mixture", "cap_per_key"]
+           "stratified_sample", "weighted_mixture", "cap_per_key",
+           "epoch_shuffle", "sql_epoch_shuffle",
+           "weighted_priority_sample", "sql_weighted_priority_sample"]
 
 # 16^15 — the denominator for the 15-hex-digit uniform draw
 _DENOM = 1 << 60
@@ -255,3 +257,153 @@ def weighted_mixture(
         )
         .drop("_n")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 1024,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-epoch training order: every row gets a
+    (shard, pos) address for this epoch — readers stream shards in id
+    order and rows in pos order and every run/engine/cluster size sees
+    the SAME permutation, while different epochs see independent ones.
+    rand()-based shuffles lose all three properties on retry/resume.
+
+    Mechanics: a 48-bit draw h = sha2(key || '#' || epoch || seed)
+    (sketches._hash48 — the 12-hex-digit scheme an ANSI oracle
+    recomputes digit-by-digit); shard = h % n_shards; pos =
+    ROW_NUMBER within the shard ordered by (h, key) — the key
+    tie-break makes 48-bit collisions harmless.  The per-shard window
+    is the pack_sequences shape: shards are uniform (hash-assigned),
+    so no hot key exists and per-task volume is rows/n_shards — size
+    n_shards ~ corpus_rows / 1e6 at scale (the documented packing
+    sizing rule)."""
+    from .sketches import _hash48
+
+    h = _hash48(F.concat(F.col(key_col).cast("string"),
+                         F.lit(f"#{epoch}")), seed)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (
+        df.select(F.col(key_col), h.alias("_h"))
+        .withColumn("shard", (F.col("_h") % n_shards).cast("bigint"))
+        .withColumn("pos", F.row_number().over(win).cast("bigint"))
+        .select(key_col, "shard", "pos")
+    )
+
+
+def sql_epoch_shuffle(
+    epoch: int,
+    n_shards: int = 1024,
+    table: str = "documents",
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> str:
+    """DuckDB twin of epoch_shuffle."""
+    from .sketches import _sql_hexint12
+
+    h = _sql_hexint12(f"CAST({key_col} AS VARCHAR) || '#{epoch}'", seed)
+    return f"""
+WITH drawn AS (
+  SELECT {key_col}, {h} AS h FROM {table}
+)
+SELECT {key_col},
+       CAST(h % {n_shards} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % {n_shards}
+                               ORDER BY h, {key_col}) AS BIGINT) AS pos
+FROM drawn
+"""
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str | None = None,
+    key_col: str = "doc_id",
+    seed: str = "",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic weighted top-k sample (per group, or global when
+    `group_col` is None): each row draws the 48-bit hash
+    h = sha2(key || seed) and competes with integer priority
+
+        prio = h div max(weight, 1)
+
+    — smaller wins, so a row's selection chance rises monotonically
+    with its weight, zero/negative weights degrade to weight 1, and
+    equal weights reduce to plain hash sampling (hash_sample's
+    determinism contract: same rows on every run/engine/partitioning).
+    This is the ln-free integer sibling of Efraimidis–Spirakis
+    priority sampling — the exponential-key transform would need
+    float pow/ln the cross-engine oracle cannot pin, so the priority
+    LAW differs from E-S (documented variant) while keeping the
+    properties pipelines rely on: determinism, weight-monotonicity,
+    and composability under corpus growth (an unselected row's
+    priority never changes).
+
+    Selection is the two-level salted top-k proved exact in bm25 —
+    (prio, key) is a total order, so per-(group, key % salt_buckets)
+    ROW_NUMBER <= k followed by the per-group final ROW_NUMBER <= k
+    equals a single global ranking; the oracle verifies with one
+    QUALIFY."""
+    from pyspark.sql import Window
+
+    from .sketches import _hash48
+
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("")) \
+        if group_col else F.lit("")
+    w = F.greatest(F.col(weight_col).cast("bigint"), F.lit(1))
+    base = (
+        df.withColumn("_grp", g)
+        .withColumn("_h", _hash48(F.col(key_col), seed))
+        .withColumn("_w", w)
+        .withColumn("_prio", F.expr("_h div _w"))
+    )
+    salted = Window.partitionBy(
+        "_grp", F.col(key_col) % salt_buckets
+    ).orderBy("_prio", key_col)
+    final = Window.partitionBy("_grp").orderBy("_prio", key_col)
+    return (
+        base.withColumn("_srn", F.row_number().over(salted))
+        .where(F.col("_srn") <= k)
+        .withColumn("sample_rank", F.row_number().over(final).cast("bigint"))
+        .where(F.col("sample_rank") <= k)
+        .drop("_grp", "_h", "_w", "_prio", "_srn")
+    )
+
+
+def sql_weighted_priority_sample(
+    k: int,
+    weight_expr: str,
+    group_expr: str | None = None,
+    table: str = "documents",
+    key_col: str = "doc_id",
+    seed: str = "",
+    cols: str = "doc_id, lang, source, n_chars",
+) -> str:
+    """DuckDB twin (single QUALIFY — equal to the engine's two-level
+    selection because (prio, key) is a total order)."""
+    from .sketches import _sql_hexint12
+
+    g = f"COALESCE(CAST({group_expr} AS VARCHAR), '')" if group_expr \
+        else "''"
+    return f"""
+WITH drawn AS (
+  SELECT {cols},
+         {g} AS grp,
+         {_sql_hexint12(key_col, seed)}
+           // GREATEST(CAST({weight_expr} AS BIGINT), 1) AS prio
+  FROM {table}
+)
+SELECT {cols},
+       CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                               ORDER BY prio, {key_col}) AS BIGINT)
+         AS sample_rank
+FROM drawn
+QUALIFY sample_rank <= {k}
+"""

@@ -1,0 +1,154 @@
+"""KMV (k-minimum-values) distinct-cardinality sketches.
+
+Corpus accounting at 100 TB needs per-stratum distinct counts (unique
+tokens per source, unique urls per snapshot, vocabulary growth curves)
+where exact COUNT(DISTINCT) would shuffle every distinct value.  The
+KMV estimator (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07) keeps
+only the k smallest hash values per group: if the k-th smallest of n
+uniform draws over [0, D) lands at h_k, then n ≈ (k-1) * D / h_k.
+
+Exactness discipline: the hash is the first 12 hex digits of
+sha2-256(token || seed) — a 48-bit uniform integer the DuckDB oracle
+recomputes digit-by-digit (same scheme as sampling.hash_fraction_col,
+12 digits instead of 15 so (k-1) * 2^48 stays inside bigint for any
+k <= 2^15).  The estimate is the pure-integer
+
+    est = n_ret                          if n_ret < k   (exact regime)
+    est = ((k-1) * 2^48) div h_k         otherwise
+
+so Spark and DuckDB agree bit-for-bit.  The estimated quantity is
+"distinct 48-bit token hashes" — indistinguishable from distinct
+tokens until cardinalities approach 2^24 per group, and an estimator
+either way.
+
+Scale shapes (100 TB):
+- distinct (group, h) is a hash-agg whose key INCLUDES the hash, so a
+  hot group never forms one reduce key.
+- k-smallest selection is the two-level salted pattern proved exact in
+  bm25 (the hash order is total): a (group, h % salt_buckets) window
+  keeps k per salt, the final per-group window ranks <= k*salt_buckets
+  survivors.  Per-salt window volume is distinct/salt_buckets — size
+  salt_buckets ~ expected_distinct / 1e6 (the pack_sequences sizing
+  rule) so no task sorts more than ~1e6 rows.
+- output is one row per group: the sketch itself (k 48-bit values) is
+  never materialized wider than k rows per group.
+
+Reference analog: none (the reference has no statistics surface); this
+sits with vocab_topk / corpus_stats in the corpus-analysis layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_distinct", "sql_kmv_distinct"]
+
+_BITS = 48
+_D = 1 << _BITS  # hash space
+
+
+def _hash48(col, seed: str):
+    return F.conv(
+        F.substring(F.sha2(F.concat(col.cast("string"), F.lit(seed)), 256),
+                    1, 12),
+        16, 10,
+    ).cast("bigint")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+    seed: str = "",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """(group, n_retained, kth_hash, est_distinct) per group: KMV
+    distinct-token estimate.  Groups with < k distinct hashes report
+    their exact count (kth_hash = the largest retained hash)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    hashes = (
+        df.select(F.col(group_col).alias("grp"),
+                  F.explode(toks).alias("token"))
+        .select("grp", _hash48(F.col("token"), seed).alias("h"))
+        .distinct()
+    )
+    salted = Window.partitionBy(
+        "grp", F.col("h") % salt_buckets
+    ).orderBy("h")
+    final = Window.partitionBy("grp").orderBy("h")
+    kept = (
+        hashes.withColumn("_srn", F.row_number().over(salted))
+        .where(F.col("_srn") <= k)
+        .withColumn("_rn", F.row_number().over(final))
+        .where(F.col("_rn") <= k)
+    )
+    return (
+        kept.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_retained"),
+            F.max("h").cast("bigint").alias("kth_hash"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_retained",
+            "kth_hash",
+            F.when(
+                F.col("n_retained") < k, F.col("n_retained")
+            ).otherwise(
+                F.expr(f"({k - 1} * cast({_D} as bigint)) div kth_hash")
+            ).cast("bigint").alias("est_distinct"),
+        )
+    )
+
+
+def _sql_hexint12(key_expr: str, seed: str) -> str:
+    """First 12 hex digits of sha256(key || seed) as a BIGINT (DuckDB
+    has no hex->int conv; positional ascii terms, the _sql_hex15
+    scheme at 12 digits)."""
+    terms = " + ".join(
+        f"(ascii(substr(h, {j + 1}, 1)) - CASE WHEN "
+        f"ascii(substr(h, {j + 1}, 1)) <= 57 THEN 48 ELSE 87 END)"
+        f" * CAST({16 ** (11 - j)} AS BIGINT)"
+        for j in range(12)
+    )
+    return (f"(SELECT ({terms}) FROM (SELECT sha256(CAST({key_expr} AS "
+            f"VARCHAR) || '{seed}') AS h))")
+
+
+def sql_kmv_distinct(
+    k: int = 64,
+    seed: str = "",
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: single-level ROW_NUMBER per group (equal to the
+    engine's two-level selection because the hash order is total)."""
+    t = f"TRIM(COALESCE({text_col}, ''))"
+    return f"""
+WITH occ AS (
+  SELECT {group_col} AS grp,
+         UNNEST(CASE WHEN LENGTH({t}) = 0 THEN CAST([] AS VARCHAR[])
+                     ELSE REGEXP_SPLIT_TO_ARRAY({t}, '\\s+') END) AS token
+  FROM {table}
+), hashes AS (
+  SELECT DISTINCT grp, {_sql_hexint12("token", seed)} AS h FROM occ
+), kept AS (
+  SELECT grp, h FROM hashes
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) <= {k}
+)
+SELECT grp AS {group_col},
+       CAST(COUNT(*) AS BIGINT) AS n_retained,
+       CAST(MAX(h) AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN COUNT(*) < {k} THEN COUNT(*)
+                 ELSE ({k - 1} * CAST({_D} AS BIGINT)) // MAX(h)
+            END AS BIGINT) AS est_distinct
+FROM kept GROUP BY grp
+"""

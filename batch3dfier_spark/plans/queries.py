@@ -2753,6 +2753,127 @@ def _sql_target_affinity() -> str:
 REGISTRY["target_affinity"] = (q_target_affinity, _sql_target_affinity())
 
 
+_PR_HOSTS = 256  # host-graph width for the contract fixture
+_PR_ITERS = 4
+_PR_FANOUT = 3
+
+
+def _host_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic host link graph over the documents fixture: each
+    doc lives on host doc_id % H and links to FANOUT hosts drawn from
+    sha2(doc_id:j) (the sketches._hash48 scheme), self-loops dropped —
+    the same synthesized-structure discipline as doc_geocode (the
+    corpus carries no link column; the operator under test is
+    graphrank.pagerank, the fixture just feeds it a skewed graph)."""
+    from ..operators.sketches import _hash48
+
+    targets = F.array(*[
+        (_hash48(F.concat(F.col("doc_id").cast("string"),
+                          F.lit(f":{j}")), "") % _PR_HOSTS)
+        for j in range(_PR_FANOUT)
+    ])
+    return (
+        docs.select((F.col("doc_id") % _PR_HOSTS).alias("src"),
+                    F.explode(targets).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank (operators/graphrank.pagerank) over
+    the deterministic host graph: 4 iterations, damping 85%, ranks in
+    exact ppb both engines reproduce bit-for-bit."""
+    from ..operators.graphrank import pagerank
+
+    return pagerank(_host_edges(_docs(spark, sf_dir)), iters=_PR_ITERS)
+
+
+def _sql_host_rank() -> str:
+    from ..operators.graphrank import sql_pagerank
+    from ..operators.sketches import _sql_hexint12
+
+    keys = [f"CAST(doc_id AS VARCHAR) || ':{j}'"
+            for j in range(_PR_FANOUT)]
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id % {_PR_HOSTS} AS src, "
+        f"{_sql_hexint12(k, '')} % {_PR_HOSTS} AS dst FROM documents"
+        for k in keys
+    )
+    edges = f"SELECT src, dst FROM ({arms}) WHERE src <> dst"
+    return sql_pagerank(edges, iters=_PR_ITERS)
+
+
+REGISTRY["host_rank"] = (q_host_rank, _sql_host_rank())
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-token sketch per source
+    (operators/sketches.kmv_distinct): k=64 minimum 48-bit hashes,
+    pure-integer estimate, two-level salted selection the oracle
+    verifies with a single ROW_NUMBER."""
+    from ..operators.sketches import kmv_distinct
+
+    return kmv_distinct(_docs(spark, sf_dir), group_col="source",
+                        k=64, seed="kmv")
+
+
+def _sql_kmv_distinct() -> str:
+    from ..operators.sketches import sql_kmv_distinct
+
+    return sql_kmv_distinct(k=64, seed="kmv")
+
+
+REGISTRY["kmv_distinct"] = (q_kmv_distinct, _sql_kmv_distinct())
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order
+    (operators/sampling.epoch_shuffle): epoch 1, 8 shards at fixture
+    scale — every row addressed by (shard, pos), identical on every
+    run/engine/partitioning."""
+    from ..operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(_docs(spark, sf_dir), epoch=1, n_shards=8,
+                         key_col="doc_id", seed="ep")
+
+
+def _sql_epoch_shuffle() -> str:
+    from ..operators.sampling import sql_epoch_shuffle
+
+    return sql_epoch_shuffle(epoch=1, n_shards=8, key_col="doc_id",
+                             seed="ep")
+
+
+REGISTRY["epoch_shuffle"] = (q_epoch_shuffle, _sql_epoch_shuffle())
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling
+    (operators/sampling.weighted_priority_sample): top-20 docs per
+    lang with integer priority h div weight, weight = n_chars (longer
+    docs proportionally likelier) — deterministic, two-level salted
+    selection the oracle verifies with one QUALIFY."""
+    from ..operators.sampling import weighted_priority_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", "n_chars")
+    return weighted_priority_sample(
+        docs, k=20, weight_col="n_chars", group_col="lang",
+        key_col="doc_id", seed="wps")
+
+
+def _sql_weighted_sample() -> str:
+    from ..operators.sampling import sql_weighted_priority_sample
+
+    return sql_weighted_priority_sample(
+        k=20, weight_expr="n_chars", group_expr="lang",
+        key_col="doc_id", seed="wps",
+        cols="doc_id, lang, source, n_chars")
+
+
+REGISTRY["weighted_sample"] = (q_weighted_sample, _sql_weighted_sample())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

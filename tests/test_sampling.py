@@ -347,3 +347,100 @@ def test_hash_split_matches_duckdb_and_is_stable(spark, docs):
         hash_split(docs, splits=[("a", 0.5), ("b", 0.4)], key_col="doc_id")
     with pytest.raises(ValueError):
         hash_split(docs, splits=[("all", 1.0)], key_col="doc_id")
+
+
+def test_epoch_shuffle_is_a_deterministic_permutation(spark, docs):
+    from batch3dfier_spark.operators.sampling import epoch_shuffle
+
+    a = epoch_shuffle(docs, epoch=1, n_shards=8).toPandas()
+    # bijection: every doc exactly once, (shard, pos) addresses unique,
+    # positions dense 1..n within each shard
+    assert len(a) == a.doc_id.nunique() == 500
+    assert not a.duplicated(["shard", "pos"]).any()
+    for _, g in a.groupby("shard"):
+        assert sorted(g.pos) == list(range(1, len(g) + 1))
+    # stable under re-evaluation and under physical repartitioning
+    b = epoch_shuffle(docs.repartition(7), epoch=1, n_shards=8).toPandas()
+    key = ["doc_id", "shard", "pos"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values("doc_id").reset_index(drop=True),
+        b[key].sort_values("doc_id").reset_index(drop=True),
+    )
+    # a different epoch is a different permutation
+    c = epoch_shuffle(docs, epoch=2, n_shards=8).toPandas()
+    merged = a.merge(c, on="doc_id", suffixes=("_1", "_2"))
+    assert ((merged.shard_1 != merged.shard_2)
+            | (merged.pos_1 != merged.pos_2)).any()
+
+
+def test_epoch_shuffle_matches_oracle(spark):
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    fn, sql = REGISTRY["epoch_shuffle"]
+    got = (fn(spark, SF).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = _oracle(sql).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_weighted_priority_sample_contract(spark, docs):
+    from batch3dfier_spark.operators.sampling import weighted_priority_sample
+
+    d = docs.select("doc_id", "lang", "source", "n_chars")
+    got = weighted_priority_sample(
+        d, k=5, weight_col="n_chars", group_col="lang",
+        key_col="doc_id", seed="t").toPandas()
+    # exactly k per group (every lang stratum here has > k rows),
+    # ranks dense 1..k
+    for _, g in got.groupby("lang"):
+        assert sorted(g.sample_rank) == list(range(1, 6))
+    # two-level selection == single-level (total order)
+    one = weighted_priority_sample(
+        d, k=5, weight_col="n_chars", group_col="lang",
+        key_col="doc_id", seed="t", salt_buckets=1).toPandas()
+    cols = ["doc_id", "lang", "sample_rank"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(["lang", "sample_rank"]).reset_index(drop=True),
+        one[cols].sort_values(["lang", "sample_rank"]).reset_index(drop=True),
+    )
+    # stable under physical repartitioning
+    two = weighted_priority_sample(
+        d.repartition(7), k=5, weight_col="n_chars", group_col="lang",
+        key_col="doc_id", seed="t").toPandas()
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(["lang", "sample_rank"]).reset_index(drop=True),
+        two[cols].sort_values(["lang", "sample_rank"]).reset_index(drop=True),
+    )
+
+
+def test_weighted_priority_sample_weight_monotone(spark):
+    from batch3dfier_spark.operators.sampling import weighted_priority_sample
+
+    # same keys, two weightings: a row's priority with a HIGHER weight
+    # never ranks worse than with a lower one (h div w decreasing in w)
+    rows = [(i, 1 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "w"]))
+    lo = weighted_priority_sample(
+        df, k=200, weight_col="w", key_col="doc_id", seed="m").toPandas()
+    hi = weighted_priority_sample(
+        df.withColumn("w", F.col("w") * 1000), k=200, weight_col="w",
+        key_col="doc_id", seed="m").toPandas()
+    assert len(lo) == len(hi) == 200
+    # scaling ALL weights equally preserves the ranking exactly
+    pd.testing.assert_frame_equal(
+        lo.sort_values("doc_id").reset_index(drop=True)[["doc_id",
+                                                         "sample_rank"]],
+        hi.sort_values("doc_id").reset_index(drop=True)[["doc_id",
+                                                         "sample_rank"]],
+    )
+
+
+def test_weighted_sample_matches_oracle(spark):
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    fn, sql = REGISTRY["weighted_sample"]
+    got = (fn(spark, SF).toPandas()
+           .sort_values(["lang", "sample_rank"]).reset_index(drop=True))
+    exp = (_oracle(sql)
+           .sort_values(["lang", "sample_rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)

@@ -1,0 +1,97 @@
+"""KMV distinct sketches (operators/sketches): exact regime, estimate
+accuracy band, two-level == single-level selection invariance, DuckDB
+oracle parity, and the hot-group-free scale shape."""
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+
+
+def test_kmv_exact_regime_small_groups(spark):
+    from batch3dfier_spark.operators.sketches import kmv_distinct
+
+    rows = [
+        (1, "a", "x y z x"),          # 3 distinct
+        (2, "a", "z w"),              # a: {x y z w} = 4 distinct
+        (3, "b", ""),                 # token-less: no row for b
+        (4, "c", "only"),             # 1 distinct
+    ]
+    got = (
+        kmv_distinct(_docs(spark, rows), k=64)
+        .toPandas().set_index("source")
+    )
+    assert got.loc["a", "est_distinct"] == 4
+    assert got.loc["a", "n_retained"] == 4
+    assert got.loc["c", "est_distinct"] == 1
+    assert "b" not in got.index
+
+
+def test_kmv_estimate_band_and_determinism(spark):
+    from batch3dfier_spark.operators.sketches import kmv_distinct
+
+    # 400 distinct tokens, k=32: KMV relative error ~ 1/sqrt(k-1) —
+    # assert a loose 2x band plus bit-identical re-evaluation
+    rows = [(i, "g", " ".join(f"tok{j}" for j in range(i * 40, i * 40 + 40)))
+            for i in range(10)]
+    df = _docs(spark, rows)
+    a = kmv_distinct(df, k=32).toPandas()
+    b = kmv_distinct(df, k=32).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    est = int(a.loc[0, "est_distinct"])
+    assert a.loc[0, "n_retained"] == 32
+    assert 200 <= est <= 800
+
+
+def test_kmv_two_level_equals_single_level(spark):
+    from batch3dfier_spark.operators.sketches import kmv_distinct
+
+    rows = [(i, "g" if i % 2 else "h",
+             " ".join(f"w{j}" for j in range(i, i + 25)))
+            for i in range(40)]
+    df = _docs(spark, rows)
+    one = kmv_distinct(df, k=16, salt_buckets=1).toPandas()
+    many = kmv_distinct(df, k=16, salt_buckets=16).toPandas()
+    cols = ["source", "n_retained", "kth_hash", "est_distinct"]
+    pd.testing.assert_frame_equal(
+        one[cols].sort_values("source").reset_index(drop=True),
+        many[cols].sort_values("source").reset_index(drop=True),
+    )
+
+
+def test_kmv_matches_oracle(spark):
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    fn, sql = REGISTRY["kmv_distinct"]
+    got = (fn(spark, SF).toPandas()
+           .sort_values("source").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    exp = con.sql(sql).df().sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+    assert (got.est_distinct > 0).all()
+
+
+def test_kmv_scale_shape(spark):
+    from batch3dfier_spark.operators.sketches import kmv_distinct
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        kmv_distinct(docs, k=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    # the distinct's agg key includes the hash (no hot group); the only
+    # windows run over salted / pre-capped inputs; no python
+    assert "Python" not in plan
+    # exactly the salted + final top-k window execs (WindowGroupLimit
+    # rank-pushdown nodes around them are welcome and not counted)
+    assert len(re.findall(r"\bWindow \[", plan)) == 2
