@@ -26,35 +26,20 @@ _TITLE_RE = "<title>(.*?)</title>"
 _BODY_RE = "<body>(.*?)</body>"
 
 
-def _first_between(s: Column, open_tag: str, close_tag: str) -> Column:
-    """Text between the FIRST `open_tag` and the next `close_tag`
-    ('' when either is absent) — plain indexOf + substring, no regex.
-
-    Equivalent to regexp_extract(s, open_tag + '(.*?)' + close_tag, 1)
-    on the corpus contract (render_html_np: one occurrence per tag, no
-    newline inside a tag span; the lazy-dot regex and first-indexOf
-    agree everywhere except regex's refusal to cross '\\n').  The
-    regex form was the scaling pipeline's allocation hot spot: two
-    java.util.regex lazy-dot matchers per page allocate Matcher +
-    backtracking state per row, and at 32 threads on one local-mode
-    heap the GC overhead grows superlinearly with width — indexOf
-    keeps the stage in zero-garbage codegen."""
-    p = F.locate(open_tag, s)  # 1-based; 0 when absent
-    start = p + len(open_tag)
-    # first close tag anywhere: on the contract input it can only sit
-    # after the first open tag, and the q < start guard rejects the
-    # malformed orderings instead of emitting a negative-length slice
-    q = F.locate(close_tag, s)
-    return F.when(
-        (p > 0) & (q >= start), F.substr(s, start, q - start)
-    ).otherwise(F.lit(""))
-
-
 def extract_text_cols(html: Column) -> Column:
-    """html binary column -> extracted text column (pure JVM expressions)."""
+    """html binary column -> extracted text column (pure JVM expressions).
+
+    Implementation note (measured, do not "optimize" back): a
+    locate+substr variant (indexOf both tags, slice between) looked
+    cheaper than two lazy-dot java.regex extractions but benched 2.4x
+    SLOWER at full width (128M pages, local[32]: 70.3 s vs 29.5 s,
+    both on quiet stage windows — bench_runs/r6/v2/): every locate /
+    substr subtree re-evaluates the decode() input, multiplying full
+    string passes, while the two regexp_extract calls scan once each
+    with a trivial non-backtracking pattern."""
     s = F.decode(html, "UTF-8")
-    title = _first_between(s, "<title>", "</title>")
-    body = _first_between(s, "<body>", "</body>")
+    title = F.regexp_extract(s, _TITLE_RE, 1)
+    body = F.regexp_extract(s, _BODY_RE, 1)
     return F.concat(title, F.lit("\n"), F.replace(body, F.lit(". "), F.lit(".\n")))
 
 
