@@ -2874,6 +2874,129 @@ def _sql_weighted_sample() -> str:
 REGISTRY["weighted_sample"] = (q_weighted_sample, _sql_weighted_sample())
 
 
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped multi-join top-k (J/A/limit coverage beside the
+    Q1-shaped pricing_summary): filtered customers BROADCAST into
+    orders, the orders⋈lineitem equi-join left to AQE, revenue summed
+    in DECIMAL (exact, order-independent — the pricing_summary rule),
+    top-10 via orderBy+limit = TakeOrderedAndProject (per-partition
+    heaps; never a global sort).  Ties pinned by o_orderkey."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,4)")
+    )
+    return (
+        orders.join(F.broadcast(cust),
+                    orders["o_custkey"] == cust["c_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("_rev"))
+        .select(
+            "o_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIP_PRIORITY = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+REGISTRY["ship_priority"] = (q_ship_priority, SQL_SHIP_PRIORITY)
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-way join (dimension-chain broadcast
+    coverage): region→nation pre-joined and broadcast into supplier
+    and customer, facts joined on keys AQE can re-plan, the
+    local-supplier condition (c_nationkey = s_nationkey) applied as a
+    join predicate; revenue in DECIMAL per the pricing_summary rule."""
+    sf = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    nr = (
+        sf("nation").join(
+            F.broadcast(sf("region").where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = sf("supplier").join(
+        F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = (
+        sf("orders")
+        .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+               & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")))
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = sf("customer").select("c_custkey", "c_nationkey")
+    li = sf("lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,4)")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, (orders["o_custkey"] == cust["c_custkey"])
+              & (cust["c_nationkey"] == supp["s_nationkey"]))
+        .groupBy("n_name")
+        .agg(rev.alias("_rev"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+REGISTRY["local_supplier_volume"] = (
+    q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -510,10 +510,18 @@ def run_scaling_child(cores: int) -> dict:
             with_geocode(raw.select("url", "warc_ts"), REF_TERRITORY), idx
         ).select(F.sum("tile_gid")),
     )
-    # stage 2: byte-identical text re-extraction over the full corpus
+    # stage 2: byte-identical text re-extraction over the full corpus.
+    # min-of-6 here (vs 3 elsewhere): this is the JIT-sensitive stage —
+    # quiet-window minima spread 29.5-34.2 s at 32 cores while the
+    # all-window floor sits at 26.1 s, the signature of regex/codegen
+    # C2 compilation still landing during early reps; more reps per
+    # child converge the min toward the warmed floor at BOTH
+    # parallelism levels (same estimator, more samples, and each rep
+    # still carries its own co-tenant window)
     timed(
         "text_extract",
         lambda: raw.where(extract_text_cols(F.col("html")) != F.col("text")),
+        reps=6,
     )
     # stage 3: per-tile percentile rollup + join back (A1 + J4)
     feats = geo.select("url", "tile_gid", F.length("text").alias("z"))

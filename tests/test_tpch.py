@@ -1,0 +1,61 @@
+"""TPC-H-shaped relational coverage (Q3/Q5 beside the Q1-shaped
+pricing_summary): DuckDB oracle parity and the broadcast/top-k plan
+shapes the 100 TB design relies on."""
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["customer", "orders", "lineitem", "supplier", "nation", "region"]
+
+
+def _oracle(sql):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def test_ship_priority_matches_oracle(spark):
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    fn, sql = REGISTRY["ship_priority"]
+    got = (fn(spark, SF).toPandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    exp = _oracle(sql).sort_values("o_orderkey").reset_index(drop=True)
+    assert len(got) == 10
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_ship_priority_plan_shape(spark):
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    plan = (REGISTRY["ship_priority"][0](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    # filtered customers broadcast; the top-10 is per-partition heaps,
+    # never a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_local_supplier_volume_matches_oracle(spark):
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    fn, sql = REGISTRY["local_supplier_volume"]
+    got = (fn(spark, SF).toPandas()
+           .sort_values("n_name").reset_index(drop=True))
+    exp = _oracle(sql).sort_values("n_name").reset_index(drop=True)
+    assert len(got) >= 1
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_local_supplier_volume_plan_shape(spark):
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    plan = (REGISTRY["local_supplier_volume"][0](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the region->nation->supplier dimension chain travels broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Python" not in plan
