@@ -2997,6 +2997,26 @@ REGISTRY["local_supplier_volume"] = (
     q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME)
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-classifier quality filtering (operators/quality.py):
+    exact-BIGINT dot product over integer ppm text features + a
+    threshold decision — the inference pass of a CCNet/GPT-3-style
+    quality model, one stateless JVM projection, zero shuffles."""
+    from ..operators.quality import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "quality_q", "quality_kept")
+
+
+def _sql_quality_score() -> str:
+    from ..operators.quality import sql_quality_score
+
+    return sql_quality_score()
+
+
+REGISTRY["quality_score"] = (q_quality_score, _sql_quality_score())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -241,6 +241,24 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
             keep = rep.where(cond).select("doc_id")
             out = out.join(keep, "doc_id")
         return out
+    if op == "quality_classifier":
+        # model-based quality filtering (operators/quality.py): the
+        # linear head of a trained classifier — integer weights from
+        # the config (a production run pastes its trained, quantized
+        # head here), threshold decision, stateless projection
+        from .operators.quality import DEFAULT_THRESHOLD_Q, quality_score
+
+        scored = quality_score(
+            df,
+            text_col=step.get("text_col", "text"),
+            weights={k: int(v)
+                     for k, v in (step.get("weights") or {}).items()},
+            threshold_q=int(step.get("threshold_q", DEFAULT_THRESHOLD_Q)),
+        )
+        if step.get("keep_score"):
+            return scored.where(F.col("quality_kept")).drop("quality_kept")
+        return scored.where(F.col("quality_kept")).drop(
+            "quality_q", "quality_kept")
     if op == "near_dedup":
         from .operators.dedup import connected_components
 

@@ -541,3 +541,42 @@ def test_textpipe_hash_split_step(spark, tmp_path):
     kept = spark.read.parquet(cfg2["output"]["path"]).toPandas()
     val_ids = set(out[out["split"] == "val"]["doc_id"])
     assert set(kept["doc_id"]) == val_ids
+
+
+def test_textpipe_quality_classifier_step(spark, tmp_path):
+    """quality_classifier drops below-threshold docs using the linear
+    head from the config; keep_score retains the quality_q column."""
+    import pandas as pd
+
+    from batch3dfier_spark.textpipe import run_textpipe
+
+    src = tmp_path / "docs"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the cat sat on the mat and the dog slept by the door",
+                "!!! ??? ;;; ::: ,,, ...",
+                "",
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(src))
+    cfg = {
+        "input": {"documents": str(src)},
+        "output": {"path": str(tmp_path / "o")},
+        "steps": [{
+            "op": "quality_classifier",
+            # head: +1 per stopword-ppm point, hard punct penalty
+            "weights": {"stop_ppm": 1, "alpha_ppm": 0, "punct_ppm": -1,
+                        "avgtok_mil": 0, "len_cred": 0, "bias": 0},
+            "threshold_q": 1,
+            "keep_score": True,
+        }],
+    }
+    report = run_textpipe(spark, cfg)
+    assert report["rows_out"] == 1
+    out = spark.read.parquet(cfg["output"]["path"]).toPandas()
+    assert list(out["doc_id"]) == [0]
+    assert "quality_q" in out.columns and "quality_kept" not in out.columns
+    assert int(out["quality_q"].iloc[0]) > 0
