@@ -3017,6 +3017,59 @@ def _sql_quality_score() -> str:
 REGISTRY["quality_score"] = (q_quality_score, _sql_quality_score())
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lmscore.py): add-one
+    unigram model self-trained on the corpus, per-doc cost in EXACT
+    integer bits (LENGTH(BIN(x)) is floor(log2)+1 in both engines —
+    no float log anywhere), milli-bits-per-token normalization, and a
+    tertile-threshold keep decision.  Train is one partial-aggregated
+    groupBy; score is groupBy(doc_id, tok) + an AQE-splittable token
+    join — hot tokens never meet a window (house rule)."""
+    from ..operators.lmscore import lm_score, lm_train
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return lm_score(docs, lm_train(docs)).select(
+        "doc_id", "lm_bits", "lm_mbits_tok", "lm_kept")
+
+
+def _sql_lm_score() -> str:
+    from ..operators.lmscore import sql_lm_score
+
+    return sql_lm_score()
+
+
+REGISTRY["lm_score"] = (q_lm_score, _sql_lm_score())
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scoring (operators/contamination.py):
+    GPT-3-style word-6-gram overlap of every document against a
+    deterministic benchmark subset (doc_id % 19 = 0), exact integer
+    ppm + flag.  Doc grams are xxhash64 postings (map-only positions,
+    distinct keyed by doc_id), the benchmark side is broadcast, and
+    the oracle replays gram STRINGS — a hash-green match certifies
+    the posting hash collision-free on this corpus, same as
+    dup_spans."""
+    from ..operators.contamination import contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where((F.col("doc_id") % 19) == 0)
+    return contamination(docs, bench, n=6).select(
+        "doc_id", "n_grams", "n_hit", "contam_ppm", "contaminated")
+
+
+def _sql_contamination() -> str:
+    from ..operators.contamination import sql_contamination
+
+    return sql_contamination(
+        n=6,
+        benchmark_sql="SELECT text FROM documents WHERE doc_id % 19 = 0",
+    )
+
+
+REGISTRY["contamination"] = (q_contamination, _sql_contamination())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

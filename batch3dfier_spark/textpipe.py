@@ -330,6 +330,40 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
             df, bench, n=int(step.get("ngram", 4))
         ).select("doc_id")
         return df.join(flagged, "doc_id", "left_anti")
+    if op == "contamination_filter":
+        # GPT-3-style soft decontamination: drop docs whose distinct
+        # word-n-gram overlap with the benchmark exceeds the ppm
+        # threshold (operators/contamination.py)
+        from .operators.contamination import DEFAULT_CONTAM_PPM, contamination
+
+        bench = spark.read.parquet(step["benchmark"])
+        scored = contamination(
+            df.select("doc_id", step.get("text_col", "text")), bench,
+            n=int(step.get("ngram", 13)),
+            text_col=step.get("text_col", "text"),
+            threshold_ppm=int(step.get("threshold_ppm",
+                                       DEFAULT_CONTAM_PPM)),
+        )
+        clean = scored.where(~F.col("contaminated")).select("doc_id")
+        return df.join(clean, "doc_id")
+    if op == "lm_filter":
+        # CCNet-style perplexity filter: self-trained unless the
+        # config points at a reference corpus (operators/lmscore.py)
+        from .operators.lmscore import (
+            DEFAULT_LM_THRESHOLD, lm_score, lm_train)
+
+        text_col = step.get("text_col", "text")
+        ref = (spark.read.parquet(step["reference"])
+               if step.get("reference") else df)
+        scored = lm_score(
+            df, lm_train(ref, text_col=text_col), text_col=text_col,
+            threshold_mbits=int(step.get("threshold_mbits",
+                                         DEFAULT_LM_THRESHOLD)),
+        )
+        kept = scored.where(F.col("lm_kept"))
+        if step.get("keep_score"):
+            return kept.drop("lm_kept")
+        return kept.drop("lm_bits", "lm_mbits_tok", "lm_kept")
     if op == "hash_sample":
         from .operators.sampling import hash_sample
 

@@ -580,3 +580,72 @@ def test_textpipe_quality_classifier_step(spark, tmp_path):
     assert list(out["doc_id"]) == [0]
     assert "quality_q" in out.columns and "quality_kept" not in out.columns
     assert int(out["quality_q"].iloc[0]) > 0
+
+
+def test_textpipe_contamination_filter_step(spark, tmp_path):
+    """contamination_filter drops docs whose n-gram overlap with the
+    benchmark parquet exceeds the ppm threshold."""
+    import pandas as pd
+
+    from batch3dfier_spark.textpipe import run_textpipe
+
+    src = tmp_path / "docs"
+    bench = tmp_path / "bench"
+    pd_docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b c d e f g h", "p q r s t u v w"],
+        }
+    )
+    spark.createDataFrame(pd_docs).write.parquet(str(src))
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a b c d e f"]})
+    ).write.parquet(str(bench))
+    cfg = {
+        "input": {"documents": str(src)},
+        "output": {"path": str(tmp_path / "o")},
+        "steps": [{
+            "op": "contamination_filter",
+            "benchmark": str(bench),
+            "ngram": 3,
+            "threshold_ppm": 500_000,
+        }],
+    }
+    report = run_textpipe(spark, cfg)
+    assert report["rows_out"] == 1
+    out = spark.read.parquet(cfg["output"]["path"]).toPandas()
+    assert list(out["doc_id"]) == [2]
+
+
+def test_textpipe_lm_filter_step(spark, tmp_path):
+    """lm_filter keeps low-bits docs under a model self-trained on
+    the batch; keep_score retains the score columns."""
+    import pandas as pd
+
+    from batch3dfier_spark.textpipe import run_textpipe
+
+    src = tmp_path / "docs"
+    # 'common' dominates training, so the all-common doc costs fewer
+    # bits per token than the all-singleton doc
+    pd_docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["common common common common common common",
+                     "one two three four five six"],
+        }
+    )
+    spark.createDataFrame(pd_docs).write.parquet(str(src))
+    cfg = {
+        "input": {"documents": str(src)},
+        "output": {"path": str(tmp_path / "o")},
+        "steps": [{
+            "op": "lm_filter",
+            "threshold_mbits": 2000,
+            "keep_score": True,
+        }],
+    }
+    report = run_textpipe(spark, cfg)
+    assert report["rows_out"] == 1
+    out = spark.read.parquet(cfg["output"]["path"]).toPandas()
+    assert list(out["doc_id"]) == [1]
+    assert "lm_mbits_tok" in out.columns and "lm_kept" not in out.columns
