@@ -3070,6 +3070,64 @@ def _sql_contamination() -> str:
 REGISTRY["contamination"] = (q_contamination, _sql_contamination())
 
 
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window sessionization (streaming/events.py
+    session_windows, run in batch): per-user 30-min-gap sessions via
+    F.session_window — Catalyst's session-merge operator instead of
+    the gaps-and-islands window pair of `sessionize`.  The oracle
+    replays Spark's merge law in microsecond-exact integer arithmetic:
+    sessions merge while ts - prev_ts <= gap (touching windows DO
+    merge — pinned by test), session end = last ts + gap."""
+    from ..streaming.events import session_windows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_windows(ev)
+
+
+SQL_EVENTS_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts)
+            AS session_seq
+  FROM marked
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+REGISTRY["events_session"] = (q_events_session, SQL_EVENTS_SESSION)
+
+
+def q_events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_session: file-source stream
+    -> watermark -> F.session_window merge -> AvailableNow drain to a
+    memory sink.  Complete-mode output must equal the batch session
+    aggregation row-for-row — gated by the same SQL oracle.  (Session
+    windows in streaming require a non-window grouping key — user_id —
+    and keep one state row per OPEN session per key, evicted by the
+    watermark.)"""
+    from ..streaming.events import (
+        read_event_stream, run_stream_to_df, session_windows)
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    return run_stream_to_df(session_windows(stream), output_mode="complete")
+
+
+REGISTRY["events_session_stream"] = (
+    q_events_session_stream, SQL_EVENTS_SESSION)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

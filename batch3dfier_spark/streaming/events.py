@@ -48,6 +48,7 @@ __all__ = [
     "read_event_stream",
     "hourly_counts",
     "dedupe_events",
+    "session_windows",
     "user_running_totals",
     "run_stream_to_df",
 ]
@@ -122,6 +123,38 @@ def dedupe_events(
     over a replay-with-duplicates source equals the batch DISTINCT."""
     return events.withWatermark("ts", watermark).dropDuplicates(
         ["event_id", "ts"]
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native session-window aggregation (F.session_window): per-user
+    sessions close after `gap` of event-time inactivity; overlapping
+    windows are MERGED by Spark's session-merge operator, so the state
+    store holds one in-flight row per open session per key (bounded by
+    the watermark), not per event.  The same expression runs in batch
+    (sessionization without the gaps-and-islands window machinery of
+    operators/sessions.py — Catalyst plans the merge natively) and the
+    two agree row-for-row; the DuckDB oracle replays the session law
+    as an island chain (new session when ts > prev_ts + gap; end =
+    last ts + gap, Spark's definition)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"),
+            "n_events",
+            "sum_value",
+        )
     )
 
 

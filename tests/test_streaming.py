@@ -175,3 +175,58 @@ def test_sessionize_gap_boundary(spark):
     out = sessionize(df, gap_minutes=30.0).toPandas().sort_values("session_seq")
     assert list(out["n_events"]) == [2, 1]
     assert list(out["session_seq"]) == [1, 2]
+
+
+def test_session_window_batch_matches_duckdb(spark):
+    """Native F.session_window sessions (batch run) match the
+    microsecond-exact island oracle of SQL_EVENTS_SESSION."""
+    import duckdb
+
+    from batch3dfier_spark.plans.queries import (
+        SQL_EVENTS_SESSION, q_events_session)
+
+    keys = ["user_id", "session_start"]
+    got = (q_events_session(spark, SF).toPandas()
+           .sort_values(keys).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    exp = (con.sql(SQL_EVENTS_SESSION).df()
+           .sort_values(keys).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_session_window_boundary_merges_on_touch(spark):
+    """Spark session windows MERGE when the next event lands at
+    EXACTLY prev_ts + gap (touch-inclusive — measured, and the same
+    law as operators/sessions.py's strict-> split rule); one second
+    beyond splits.  The oracle's `> gap` split mirror of this is what
+    keeps events_session hash-green."""
+    from batch3dfier_spark.streaming.events import session_windows
+
+    rows = [
+        _row(1, "2024-01-01 00:00:00"),
+        _row(2, "2024-01-01 00:30:00"),   # == gap -> merges
+        _row(3, "2024-01-01 01:00:01"),   # gap + 1s after #2 -> splits
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    out = (session_windows(spark.createDataFrame(pdf)).toPandas()
+           .sort_values("session_start").reset_index(drop=True))
+    assert list(out["n_events"]) == [2, 1]
+    assert out.loc[0, "session_end"] == "2024-01-01 01:00:00"
+    assert out.loc[1, "session_end"] == "2024-01-01 01:30:01"
+
+
+def test_session_window_stream_equals_batch(spark):
+    """Complete-mode AvailableNow drain of the streaming session
+    aggregation equals the batch twin row-for-row."""
+    from batch3dfier_spark.plans.queries import (
+        q_events_session, q_events_session_stream)
+
+    keys = ["user_id", "session_start"]
+    got = (q_events_session_stream(spark, SF).toPandas()
+           .sort_values(keys).reset_index(drop=True))
+    exp = (q_events_session(spark, SF).toPandas()
+           .sort_values(keys).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
