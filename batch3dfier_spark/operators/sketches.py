@@ -152,3 +152,119 @@ SELECT grp AS {group_col},
             END AS BIGINT) AS est_distinct
 FROM kept GROUP BY grp
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership sketch
+#
+# The dedup/decontamination companion to KMV: a set-membership sketch
+# with one-sided error (no false negatives, deterministic false
+# positives), the structure a 100 TB pipeline broadcasts to cheaply
+# pre-filter "have we seen this key?" before an exact anti-join —
+# Spark itself uses the same idea for runtime row-group filtering.
+#
+# Representation: the DISTINCT set-bit indices, one row per bit — at
+# most m rows regardless of input size, built by a hash-agg whose key
+# IS the bit (a hot key sets the same bit; map-side combine absorbs
+# it).  A production sink packs the <= m rows into m/64 words on
+# write; the row form is what keeps the DuckDB oracle exact (DuckDB
+# BIGINT << 63 overflows, so packed words would need HUGEINT staging
+# for zero semantic gain).  Probing joins the (broadcast) filter on
+# bit and declares maybe_member when all k probes hit — false
+# positives are REQUIRED to match the oracle bit-for-bit, which the
+# shared 48-bit sha2 hash law guarantees (same scheme as KMV above).
+# ---------------------------------------------------------------------------
+
+__all__ += ["bloom_build", "bloom_probe", "sql_bloom_probe"]
+
+
+def _bloom_bits(col, m_bits: int, k: int, seed: str):
+    return F.array(
+        *[(_hash48(col, f"{seed}bloom{i}") % m_bits) for i in range(k)]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str = "text",
+    m_bits: int = 4096,
+    k: int = 4,
+    seed: str = "",
+) -> DataFrame:
+    """(bit) — the filter's distinct set-bit indices.  Mergeable by
+    construction: bloom(A ∪ B) = DISTINCT(bloom(A) ∪ bloom(B))."""
+    return (
+        df.select(
+            F.explode(_bloom_bits(F.col(key_col), m_bits, k, seed))
+            .alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "key",
+    id_col: str = "probe_id",
+    m_bits: int = 4096,
+    k: int = 4,
+    seed: str = "",
+    broadcast_filter: bool = True,
+) -> DataFrame:
+    """(id, maybe_member) — maybe_member is true iff all k probe bits
+    are set.  The filter side is broadcast by default (<= m rows); the
+    per-probe explode is map-only and the count-hits groupBy keys on
+    the probe id, so a hot probe key is k rows, never a hot group."""
+    f = F.broadcast(bloom) if broadcast_filter else bloom
+    exploded = probes.select(
+        id_col,
+        F.explode(_bloom_bits(F.col(key_col), m_bits, k, seed)).alias("bit"),
+    )
+    hits = (
+        exploded.join(f.withColumn("_set", F.lit(1)), "bit", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("_n_hit"))
+    )
+    return probes.join(hits, id_col, "left").select(
+        probes["*"],
+        (F.coalesce(F.col("_n_hit"), F.lit(0)) >= F.lit(k))
+        .alias("maybe_member"),
+    )
+
+
+def sql_bloom_probe(
+    build_keys_sql: str,
+    probes_sql: str,
+    key_col: str = "key",
+    id_col: str = "probe_id",
+    m_bits: int = 4096,
+    k: int = 4,
+    seed: str = "",
+    select_cols: str = "probe_id",
+) -> str:
+    """DuckDB twin: identical 48-bit sha2 bit law, identical distinct
+    set-bit representation, identical all-k-hit membership rule —
+    false positives reproduce exactly."""
+    def bits(src: str, cols: str) -> str:
+        pos = ", ".join(
+            f"({_sql_hexint12(key_col, f'{seed}bloom{i}')}) % {m_bits}"
+            for i in range(k)
+        )
+        return (f"SELECT {cols} UNNEST([{pos}]) AS bit "
+                f"FROM ({src})")
+    return f"""
+WITH bloom AS (
+  SELECT DISTINCT bit FROM ({bits(build_keys_sql, '')})
+),
+probe_bits AS (
+  {bits(probes_sql, id_col + ',')}
+),
+hits AS (
+  SELECT {id_col}, COUNT(b.bit) AS n_hit
+  FROM probe_bits p LEFT JOIN bloom b USING (bit)
+  GROUP BY {id_col}
+)
+SELECT {select_cols}, (COALESCE(h.n_hit, 0) >= {k}) AS maybe_member
+FROM ({probes_sql}) pr LEFT JOIN hits h USING ({id_col})
+"""

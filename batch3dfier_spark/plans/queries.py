@@ -3128,6 +3128,48 @@ REGISTRY["events_session_stream"] = (
     q_events_session_stream, SQL_EVENTS_SESSION)
 
 
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership sketch (operators/sketches.bloom_build/probe):
+    build a 4096-bit / 4-hash filter over every document text, then
+    probe a half-member half-absent key set — even doc_ids probe their
+    own text (always maybe_member: no false negatives), odd doc_ids
+    probe synthetic absent keys whose ~6% deterministic false-positive
+    rate the oracle must reproduce bit-for-bit (shared 48-bit sha2 bit
+    law).  The filter is <= 4096 rows and broadcast; the probe side
+    never forms a hot group (counts key on probe_id)."""
+    from ..operators.sketches import bloom_build, bloom_probe
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bloom = bloom_build(docs, key_col="text", m_bits=4096, k=4)
+    probes = docs.select(
+        F.col("doc_id").alias("probe_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.lit("absent-"), F.col("doc_id")))
+        .alias("key"),
+    )
+    return bloom_probe(probes, bloom, m_bits=4096, k=4).select(
+        "probe_id", "maybe_member")
+
+
+def _sql_bloom_probe_q() -> str:
+    from ..operators.sketches import sql_bloom_probe
+
+    return sql_bloom_probe(
+        build_keys_sql="SELECT text AS key FROM documents",
+        probes_sql=(
+            "SELECT doc_id AS probe_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN text "
+            "ELSE 'absent-' || CAST(doc_id AS VARCHAR) END AS key "
+            "FROM documents"
+        ),
+        m_bits=4096,
+        k=4,
+    )
+
+
+REGISTRY["bloom_probe"] = (q_bloom_probe, _sql_bloom_probe_q())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

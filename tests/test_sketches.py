@@ -95,3 +95,84 @@ def test_kmv_scale_shape(spark):
     # exactly the salted + final top-k window execs (WindowGroupLimit
     # rank-pushdown nodes around them are welcome and not counted)
     assert len(re.findall(r"\bWindow \[", plan)) == 2
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every built key probes maybe_member=true — the bloom
+    one-sided-error contract."""
+    from batch3dfier_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    bloom = bloom_build(docs, key_col="text", m_bits=4096, k=4)
+    probes = docs.select(
+        docs.doc_id.alias("probe_id"), docs.text.alias("key"))
+    out = bloom_probe(probes, bloom).toPandas()
+    assert bool(out["maybe_member"].all())
+
+
+def test_bloom_false_positives_exist_and_are_deterministic(spark):
+    """At 4096 bits / ~2000 set, absent keys hit a real (~6%) FP rate;
+    two runs agree exactly (the rate is a deterministic function of
+    the corpus, not randomness)."""
+    import pyspark.sql.functions as F
+
+    from batch3dfier_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    bloom = bloom_build(docs, key_col="text", m_bits=4096, k=4)
+    probes = docs.select(
+        docs.doc_id.alias("probe_id"),
+        F.concat(F.lit("absent-"), docs.doc_id).alias("key"))
+    a = (bloom_probe(probes, bloom).toPandas()
+         .sort_values("probe_id").reset_index(drop=True))
+    b = (bloom_probe(probes, bloom).toPandas()
+         .sort_values("probe_id").reset_index(drop=True))
+    n_fp = int(a["maybe_member"].sum())
+    assert 0 < n_fp < len(a) // 2
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bloom_is_mergeable(spark):
+    """bloom(A union B) == DISTINCT(bloom(A) union bloom(B))."""
+    from batch3dfier_spark.operators.sketches import bloom_build
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    a, b = docs.where(docs.doc_id % 2 == 0), docs.where(docs.doc_id % 2 == 1)
+    whole = set(
+        r.bit for r in bloom_build(docs, key_col="text").collect())
+    merged = set(
+        r.bit for r in bloom_build(a, key_col="text").unionByName(
+            bloom_build(b, key_col="text")).distinct().collect())
+    assert whole == merged
+
+
+def test_bloom_shuffle_filter_path_matches_broadcast(spark):
+    from batch3dfier_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text").limit(100)
+    bloom = bloom_build(docs, key_col="text")
+    probes = docs.select(
+        docs.doc_id.alias("probe_id"), docs.text.alias("key"))
+    a = (bloom_probe(probes, bloom, broadcast_filter=True).toPandas()
+         .sort_values("probe_id").reset_index(drop=True))
+    b = (bloom_probe(probes, bloom, broadcast_filter=False).toPandas()
+         .sort_values("probe_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bloom_plan_has_no_window_and_no_python(spark):
+    from batch3dfier_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    bloom = bloom_build(docs, key_col="text")
+    probes = docs.select(
+        docs.doc_id.alias("probe_id"), docs.text.alias("key"))
+    plan = (bloom_probe(probes, bloom)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "Python" not in plan
