@@ -3170,6 +3170,33 @@ def _sql_bloom_probe_q() -> str:
 REGISTRY["bloom_probe"] = (q_bloom_probe, _sql_bloom_probe_q())
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round trip (sources/jsonl.py): export the
+    documents table as sharded gzip JSONL (uniform-hash shards,
+    write-once into the digest-keyed scratch root) and read it back
+    schema-first in PERMISSIVE/quarantine mode.  The value hash covers
+    every column of every row, so a green match certifies the full
+    encode/escape/decode cycle (unicode, embedded newlines, nulls)
+    byte-exact against the parquet original."""
+    import os
+
+    from ..scratch import scratch_dir
+    from ..sources.jsonl import read_jsonl, write_jsonl
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    out = os.path.join(scratch_dir("jsonl", sf_dir), "documents_jsonl")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_jsonl(_docs(spark, sf_dir).select(*cols), out)
+    return read_jsonl(spark, out).select(*cols)
+
+
+SQL_JSONL_ROUNDTRIP = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents"
+)
+
+REGISTRY["jsonl_roundtrip"] = (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
