@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count",
+    "pretok_count",
+    "sql_pretok_count",
+    "PRETOK_RE",
     "add_textstats",
     "repetition_stats",
     "scrub_pii",
@@ -79,6 +82,38 @@ def token_count(text: Column) -> Column:
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.size(_tokens(text))
     )
+
+
+# BPE-style pre-tokenizer law: the lookahead-free variant of the
+# GPT-2 pattern (contractions | space?+letters | space?+digits |
+# space?+symbol-run | whitespace-run), written with explicit ASCII
+# classes and escape sequences that mean the same thing in java.regex
+# and RE2 (the scrub_pii discipline — GPT-2's actual `\s+(?!\S)`
+# lookahead does not exist in RE2, so the law drops it; every
+# whitespace run is one token either way, the count only shifts where
+# GPT-2 would split a trailing-space run, a documented variant).
+# Alternation is leftmost-first in BOTH engines' default mode, so the
+# match sequence — and therefore the count — is identical.
+PRETOK_RE = ("'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+             "| ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+")
+
+
+def pretok_count(text: Column) -> Column:
+    """BPE-ish pre-tokenizer token count (0 for null/blank text) —
+    the sizing law a tokenizer-faithful `pack_sequences` run feeds in
+    via `n_tokens_col` (pre-tokens upper-bound BPE tokens per word, so
+    packing to a budget in pre-tokens never overflows a context
+    window measured in the same law).  One JVM regexp_count, codegen-
+    resident like token_count."""
+    return F.regexp_count(
+        F.coalesce(text, F.lit("")), F.lit(PRETOK_RE)
+    ).cast("long")
+
+
+def sql_pretok_count(text: str = "text") -> str:
+    pat = PRETOK_RE.replace("'", "''")
+    return (f"CAST(LEN(REGEXP_EXTRACT_ALL(COALESCE({text}, ''), "
+            f"'{pat}')) AS BIGINT)")
 
 
 def _ratio6(num: Column, den: Column) -> Column:

@@ -199,3 +199,29 @@ def test_emit_sequences_custom_tokens_col(spark):
     )
     assert list(out["seq_text"]) == ["10 11 12 20", "30 31 32 33"]
     assert list(out["n_tokens"]) == [4, 4]
+
+
+def test_pack_sequences_driven_by_pretok_counts(spark):
+    """End-to-end tokenizer-faithful packing: pretok_count supplies
+    n_tokens_col, so the layout budget is measured in BPE-style
+    pre-tokens instead of whitespace words — no document's pre-token
+    count exceeds its sequence budget."""
+    import pyspark.sql.functions as F
+
+    from batch3dfier_spark.operators.packing import pack_sequences
+    from batch3dfier_spark.operators.textstats import pretok_count
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("n_pretok", pretok_count(F.col("text")))
+        .where(F.col("n_pretok") > 0)
+    )
+    out = pack_sequences(
+        docs, n_ctx=256, n_shards=4, n_tokens_col="n_pretok"
+    ).toPandas()
+    assert len(out) == docs.count()
+    # the layout's token accounting is the pretok law, verbatim
+    got = out.set_index("doc_id")["n_tokens"].to_dict()
+    exp = {r["doc_id"]: r["n_pretok"] for r in docs.collect()}
+    assert got == exp
