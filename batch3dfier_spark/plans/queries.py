@@ -3225,6 +3225,76 @@ def _sql_pretok_count_q() -> str:
 REGISTRY["pretok_count"] = (q_pretok_count, _sql_pretok_count_q())
 
 
+def _attrib_out(j: DataFrame) -> DataFrame:
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss")
+        .alias("purchase_ts"),
+        "purchase_value",
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "click_value",
+    )
+
+
+def q_events_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval attribution join (streaming/events.attribution_join,
+    run in batch): every purchase x ALL same-user clicks in the day
+    before it — the all-touch sibling of `asof_join`'s last-touch.
+    One symmetric equi-join on user_id with a residual time-range
+    predicate (AQE-splittable; never a window)."""
+    from ..streaming.events import attribution_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _attrib_out(attribution_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        lookback_s=86_400,
+    ))
+
+
+SQL_EVENTS_ATTRIB = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       p.value AS purchase_value,
+       c.event_id AS click_id,
+       STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       c.value AS click_value
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 86400 SECONDS
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+REGISTRY["events_attrib"] = (q_events_attrib, SQL_EVENTS_ATTRIB)
+
+
+def q_events_attrib_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM twin of events_attrib: one file-source stream
+    split into purchase and click streams, watermarks on both sides,
+    time-interval inner join (the range predicate bounds the state
+    store — Spark evicts rows that can no longer match), append-mode
+    AvailableNow drain.  Matches emit on arrival, so the drain equals
+    the batch join row-for-row — gated by the same SQL oracle."""
+    from ..streaming.events import (
+        attribution_join, read_event_stream, run_stream_to_df)
+
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    j = attribution_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        lookback_s=86_400,
+    )
+    return _attrib_out(run_stream_to_df(j, output_mode="append"))
+
+
+REGISTRY["events_attrib_stream"] = (
+    q_events_attrib_stream, SQL_EVENTS_ATTRIB)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

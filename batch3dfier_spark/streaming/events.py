@@ -49,6 +49,7 @@ __all__ = [
     "hourly_counts",
     "dedupe_events",
     "session_windows",
+    "attribution_join",
     "user_running_totals",
     "run_stream_to_df",
 ]
@@ -193,6 +194,48 @@ def user_running_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def attribution_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every purchase pairs with ALL
+    clicks of the same user in the lookback window ending at the
+    purchase (the classic attribution join; the as-of LAST-click
+    variant is operators/asof.py).  In streaming, BOTH sides carry
+    watermarks and the time-range predicate bounds the state store:
+    Spark derives from `c.ts >= p.ts - lookback AND c.ts <= p.ts` how
+    long each side's rows can still match and evicts them at the
+    watermark — without the range condition the join state would grow
+    forever, so the predicate is load-bearing, not an optimization.
+    Inner-join rows emit as soon as they match (append mode), so an
+    AvailableNow drain equals the batch twin row-for-row; the same
+    expression runs in batch (withWatermark is a no-op there).
+    Shuffle shape: symmetric hash join keyed on user_id — a hot user
+    is a join key, which AQE can skew-split in batch; in streaming the
+    state is keyed per user and bounded by the watermark window."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    ).withWatermark("click_ts", watermark)
+    cond = (
+        (p["user_id"] == c["c_user_id"])
+        & (c["click_ts"] >= p["purchase_ts"]
+           - F.expr(f"INTERVAL {lookback_s} SECONDS"))
+        & (c["click_ts"] <= p["purchase_ts"])
+    )
+    return p.join(c, cond, "inner").drop("c_user_id")
 
 
 def run_stream_to_df(

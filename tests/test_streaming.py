@@ -230,3 +230,42 @@ def test_session_window_stream_equals_batch(spark):
     exp = (q_events_session(spark, SF).toPandas()
            .sort_values(keys).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_attrib_interval_law_pinned(spark):
+    """Interval bounds are inclusive on both ends: clicks at exactly
+    purchase_ts - lookback and at purchase_ts join; one second outside
+    either end does not."""
+    from batch3dfier_spark.streaming.events import attribution_join
+
+    purchases = pd.DataFrame([_row(100, "2024-01-02 00:00:00",
+                                   etype="purchase")])
+    clicks = pd.DataFrame([
+        _row(1, "2024-01-01 23:59:59"),              # inside
+        _row(2, "2024-01-02 00:00:00"),              # == purchase_ts
+        _row(3, "2024-01-01 23:00:00"),              # == ts - lookback
+        _row(4, "2024-01-01 22:59:59"),              # 1s too old
+        _row(5, "2024-01-02 00:00:01"),              # after purchase
+    ])
+    for pdf in (purchases, clicks):
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+    out = attribution_join(
+        spark.createDataFrame(purchases), spark.createDataFrame(clicks),
+        lookback_s=3600,
+    ).toPandas()
+    assert sorted(out["click_id"]) == [1, 2, 3]
+
+
+def test_attrib_stream_equals_batch(spark):
+    """Append-mode AvailableNow drain of the stream-stream interval
+    join equals the batch twin row-for-row."""
+    from batch3dfier_spark.plans.queries import (
+        q_events_attrib, q_events_attrib_stream)
+
+    keys = ["purchase_id", "click_id"]
+    got = (q_events_attrib_stream(spark, SF).toPandas()
+           .sort_values(keys).reset_index(drop=True))
+    exp = (q_events_attrib(spark, SF).toPandas()
+           .sort_values(keys).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)
