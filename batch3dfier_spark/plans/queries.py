@@ -3295,6 +3295,132 @@ REGISTRY["events_attrib_stream"] = (
     q_events_attrib_stream, SQL_EVENTS_ATTRIB)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/semdedup.semdedup):
+    frozen-seed 64-centroid assignment (map-only Arrow matmul vs the
+    broadcast centroid matrix), two-level-salted cluster cap, cid-equi
+    candidate self-join, quantized-integer cosine verify — a doc is a
+    dup iff a lower-id member of its capped cluster scores >= 0.4.
+    Every stage is exact-integer arithmetic, so the oracle recomputes
+    assignment, cap and cosines bit-identically."""
+    from ..operators.semdedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(emb, threshold=0.4, n_centroids=64, cluster_cap=4096)
+
+
+def _sql_semdedup() -> str:
+    n_centroids, cap, thr = 64, 4096, 0.4
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                        x -> ROUND(x * 1048576.0)) AS qv
+  FROM embeddings
+), c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+  FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT {n_centroids})
+), asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY -2 * LIST_DOT_PRODUCT(e.qv, c.cv)
+                      + LIST_DOT_PRODUCT(c.cv, c.cv), c.cid) AS rn
+    FROM e, c)
+  WHERE rn = 1
+), capped AS (
+  SELECT vec_id, cid FROM asg
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) <= {cap}
+), n AS (
+  SELECT vec_id, qv, SQRT(LIST_DOT_PRODUCT(qv, qv)) AS nrm FROM e
+), dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE LIST_DOT_PRODUCT(na.qv, nb.qv) / (na.nrm * nb.nrm) >= {thr}
+)
+SELECT asg.vec_id, CAST(asg.cid AS INT) AS cid,
+       (dup.vec_id IS NOT NULL) AS is_dup
+FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id
+"""
+
+
+REGISTRY["semdedup"] = (q_semdedup, _sql_semdedup())
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused by reciprocal-rank fusion
+    (operators/retrieval.rrf_fuse): docs with doc_id % 97 == 0 are the
+    queries; their text drives quantized-BM25 top-20 and their aligned
+    embedding drives exact-cosine top-20; the two lists full-outer
+    join on (query_id, cand_id) and fuse with integer
+    floor(1e6 / (60 + rank)) contributions, top-5 per query.  The fuse
+    never touches the corpus — O(queries x k) rows a side."""
+    from ..operators.bm25 import bm25_topk
+    from ..operators.retrieval import rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    docs = _docs(spark, sf_dir)
+    qs = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    bm = bm25_topk(docs, qs, k=20).withColumnRenamed("doc_id", "cand_id")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann = cosine_topk(emb, emb.where(F.col("vec_id") % 97 == 0), k=20)
+    return rrf_fuse(bm, ann, k=5)
+
+
+def _sql_hybrid_rrf() -> str:
+    from ..operators.bm25 import sql_bm25_topk
+
+    bm_sql = sql_bm25_topk(
+        k=20,
+        queries_sql="SELECT doc_id AS query_id, text AS qtext"
+                    " FROM documents WHERE doc_id % 97 = 0",
+    )
+    return f"""
+WITH bm AS (
+  SELECT query_id, doc_id AS cand_id, rank FROM ({bm_sql})
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 97 = 0
+), cnd AS (
+  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), s AS (
+  SELECT query_id, cand_id,
+         ROUND(LIST_DOT_PRODUCT(qv, cv)
+               / (SQRT(LIST_DOT_PRODUCT(qv, qv))
+                  * SQRT(LIST_DOT_PRODUCT(cv, cv))), 6) AS cosine
+  FROM cnd, q WHERE cand_id <> query_id
+), ann AS (
+  SELECT query_id, cand_id, rk AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rk
+    FROM s)
+  WHERE rk <= 20
+), fa AS (
+  SELECT query_id, cand_id,
+         CAST(1000000 // (60 + rank) AS BIGINT) AS c FROM bm
+), fb AS (
+  SELECT query_id, cand_id,
+         CAST(1000000 // (60 + rank) AS BIGINT) AS c FROM ann
+), fused AS (
+  SELECT query_id, cand_id,
+         CAST(COALESCE(fa.c, 0) + COALESCE(fb.c, 0) AS BIGINT) AS rrf_q
+  FROM fa FULL JOIN fb USING (query_id, cand_id)
+)
+SELECT query_id, cand_id, rrf_q, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_q DESC, cand_id ASC) AS rank
+  FROM fused)
+WHERE rank <= 5
+"""
+
+
+REGISTRY["hybrid_rrf"] = (q_hybrid_rrf, _sql_hybrid_rrf())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
