@@ -3421,6 +3421,76 @@ WHERE rank <= 5
 REGISTRY["hybrid_rrf"] = (q_hybrid_rrf, _sql_hybrid_rrf())
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style URL blocklist filtering
+    (operators/urltools.url_blocklist_filter): the fixture has no url
+    column, so engine and oracle derive the same deterministic URL per
+    doc (case-mixed host, doc_id%50 sites, .com/.org TLD split, a
+    /Casino path segment for doc_id%13).  Blocklist = two exact sites
+    plus the example.org REGISTERED DOMAIN (suffix semantics: every
+    subdomain blocks too, via the suffix-explode equi-join); fragment
+    rule = 'casino' anywhere in the lowercased URL.  reason = host >
+    fragment > NULL."""
+    from ..operators.urltools import url_blocklist_filter
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("http://SITE")).otherwise(
+            F.lit("http://site")
+        ),
+        F.pmod(d, F.lit(50)).cast("string"),
+        F.when(d % 11 == 0, F.lit(".Example.ORG")).otherwise(
+            F.lit(".example.com")
+        ),
+        F.when(d % 13 == 0, F.lit("/Casino")).otherwise(F.lit("")),
+        F.format_string("/page%d", F.pmod(d, F.lit(20))),
+    )
+    urls = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [("site7.example.com",), ("site13.example.com",),
+         ("example.org",)],
+        "blocked string",
+    )
+    return url_blocklist_filter(urls, bl, blocked_fragments=["casino"])
+
+
+SQL_URL_FILTER = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http://SITE'
+               ELSE 'http://site' END)
+         || CAST(doc_id % 50 AS VARCHAR)
+         || (CASE WHEN doc_id % 11 = 0 THEN '.Example.ORG'
+                  ELSE '.example.com' END)
+         || (CASE WHEN doc_id % 13 = 0 THEN '/Casino' ELSE '' END)
+         || '/page' || CAST(doc_id % 20 AS VARCHAR) AS url
+  FROM documents
+), h AS (
+  SELECT doc_id, url,
+         LOWER(REGEXP_EXTRACT(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host
+  FROM u
+), s AS (
+  SELECT doc_id, url, host,
+         LEN(LIST_INTERSECT(
+           [ARRAY_TO_STRING(labels[i:LEN(labels)], '.')
+            FOR i IN RANGE(1, LEN(labels) + 1)],
+           ['site7.example.com', 'site13.example.com', 'example.org']
+         )) > 0 AS host_hit
+  FROM (SELECT doc_id, url, host,
+               STRING_SPLIT(host, '.') AS labels FROM h)
+)
+SELECT doc_id, host,
+       CASE WHEN host_hit THEN 'host'
+            WHEN CONTAINS(LOWER(url), 'casino') THEN 'fragment'
+       END AS reason
+FROM s
+"""
+
+
+REGISTRY["url_filter"] = (q_url_filter, SQL_URL_FILTER)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

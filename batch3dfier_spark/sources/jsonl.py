@@ -63,17 +63,25 @@ def read_jsonl(
     schema: str = DOCUMENTS_SCHEMA,
     keep_corrupt: bool = False,
 ) -> DataFrame:
-    """Schema-first JSONL reader.  Malformed lines land in
-    `_corrupt_record` (PERMISSIVE mode) and are dropped unless
-    `keep_corrupt` — pass True to route them to a quarantine sink."""
-    full = schema + ", _corrupt_record string"
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    """Schema-first JSONL reader.  With `keep_corrupt` malformed lines
+    land in `_corrupt_record` (PERMISSIVE mode) for a quarantine sink;
+    without it the read runs DROPMALFORMED — same kept rows, but no
+    corrupt column in the plan, so downstream column pruning (and a
+    bare count(), which references zero data columns) stays legal:
+    Spark forbids queries whose referenced set is ONLY the corrupt
+    record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), which a
+    PERMISSIVE-filter-then-drop shape trips as soon as the optimizer
+    prunes."""
+    if keep_corrupt:
+        full = schema + ", _corrupt_record string"
+        return (
+            spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
         .json(path)
     )
-    if keep_corrupt:
-        return df
-    return df.where(F.col("_corrupt_record").isNull()).drop(
-        "_corrupt_record")

@@ -269,6 +269,45 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
             F.col("id").alias("doc_id")
         )
         return df.join(drops, "doc_id", "left_anti")
+    if op == "url_filter":
+        # C4-style URL blocklist filtering: keep rows whose host (or
+        # any parent domain) is NOT in blocked_hosts and whose URL
+        # contains none of blocked_fragments.  Requires a url column.
+        from .operators.urltools import url_blocklist_filter
+
+        bl = spark.createDataFrame(
+            [(h,) for h in step["blocked_hosts"]], "blocked string"
+        )
+        keep = (
+            url_blocklist_filter(
+                df, bl,
+                blocked_fragments=step.get("blocked_fragments"),
+                url_col=step.get("url_col", "url"),
+            )
+            .where(F.col("reason").isNull())
+            .select("doc_id")
+        )
+        return df.join(keep, "doc_id")
+    if op == "semantic_dedup":
+        # SemDeDup (operators/semdedup.py): prune docs whose EMBEDDING
+        # duplicates a kept same-cluster member — requires the frame to
+        # carry an embedding column (joined upstream, like the
+        # near_dedup embedding method).  min-id survivor rule.
+        from .operators.semdedup import semdedup
+
+        keep = (
+            semdedup(
+                df,
+                threshold=float(step.get("threshold", 0.4)),
+                n_centroids=int(step.get("n_centroids", 64)),
+                cluster_cap=int(step.get("cluster_cap", 4096)),
+                id_col="doc_id",
+                vec_col=step.get("vec_col", "embedding"),
+            )
+            .where(~F.col("is_dup"))
+            .select("doc_id")
+        )
+        return df.join(keep, "doc_id")
     if op == "near_dup_labels":
         # the MATERIALIZE-ONCE half of the cluster pipeline (round-5
         # verdict #8): attach each doc's near-dup cluster label as a

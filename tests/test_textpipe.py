@@ -649,3 +649,70 @@ def test_textpipe_lm_filter_step(spark, tmp_path):
     out = spark.read.parquet(cfg["output"]["path"]).toPandas()
     assert list(out["doc_id"]) == [1]
     assert "lm_mbits_tok" in out.columns and "lm_kept" not in out.columns
+
+
+def test_textpipe_semantic_dedup_step(spark, tmp_path):
+    """semantic_dedup runs SemDeDup from the YAML surface: survivors
+    match the operator's ~is_dup set exactly."""
+    from batch3dfier_spark.operators.semdedup import semdedup
+    from batch3dfier_spark.textpipe import run_textpipe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    joined = docs.join(emb, docs["doc_id"] == emb["vec_id"]).drop("vec_id")
+    src = str(tmp_path / "docs_with_emb")
+    joined.write.parquet(src)
+
+    cfg = {
+        "input": {"documents": src},
+        "output": {"path": str(tmp_path / "out")},
+        "steps": [
+            {"op": "semantic_dedup", "threshold": 0.4,
+             "n_centroids": 16},
+        ],
+    }
+    report = run_textpipe(spark, cfg)
+
+    exp = semdedup(
+        spark.read.parquet(src), threshold=0.4, n_centroids=16,
+        id_col="doc_id", vec_col="embedding",
+    ).toPandas()
+    exp_kept = set(exp[~exp["is_dup"]]["doc_id"])
+    assert 0 < len(exp_kept) < 500
+    kept = set(
+        spark.read.parquet(cfg["output"]["path"])
+        .select("doc_id").toPandas()["doc_id"]
+    )
+    assert kept == exp_kept
+
+
+def test_textpipe_url_filter_step(spark, tmp_path):
+    """url_filter drops blocked-host (incl. subdomain) and
+    blocked-fragment rows from the YAML surface."""
+    from batch3dfier_spark.textpipe import run_textpipe
+
+    rows = [
+        (1, "a", "http://x.bad.com/p"),
+        (2, "b", "http://ok.com/casino"),
+        (3, "c", "http://ok.com/fine"),
+        (4, "d", "http://bad.com/fine"),
+    ]
+    src = str(tmp_path / "docs_url")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, url string"
+    ).write.parquet(src)
+
+    cfg = {
+        "input": {"documents": src},
+        "output": {"path": str(tmp_path / "out")},
+        "steps": [
+            {"op": "url_filter", "blocked_hosts": ["bad.com"],
+             "blocked_fragments": ["casino"]},
+        ],
+    }
+    report = run_textpipe(spark, cfg)
+    assert report["rows_out"] == 1
+    kept = spark.read.parquet(cfg["output"]["path"]).collect()
+    assert [r["doc_id"] for r in kept] == [3]

@@ -121,3 +121,61 @@ def test_url_dedup_contract_matches_oracle(spark):
     # the dedup collapses something (500 docs, 50x20 site/page grid)
     n_docs = len(con.sql("SELECT * FROM documents").df())
     assert 0 < len(got) < n_docs
+
+
+def test_host_suffixes_ladder(spark):
+    from batch3dfier_spark.operators.urltools import host_suffixes
+
+    df = spark.createDataFrame(
+        [(1, "a.b.example.com")], "doc_id bigint, host string"
+    )
+    got = sorted(r["suffix"] for r in host_suffixes(df).collect())
+    assert got == sorted(
+        ["a.b.example.com", "b.example.com", "example.com", "com"]
+    )
+
+
+def test_blocklist_suffix_blocks_subdomains(spark):
+    from batch3dfier_spark.operators.urltools import url_blocklist_filter
+
+    rows = [
+        (1, "http://a.bad.com/x"),      # subdomain of blocked domain
+        (2, "http://bad.com/x"),        # exact blocked domain
+        (3, "http://notbad.com/x"),     # suffix must match on labels
+        (4, "http://good.com/casino"),  # fragment rule
+        (5, "http://good.com/fine"),    # kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    bl = spark.createDataFrame([("bad.com",)], "blocked string")
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in url_blocklist_filter(
+            df, bl, blocked_fragments=["casino"]
+        ).collect()
+    }
+    assert got == {1: "host", 2: "host", 3: None,
+                   4: "fragment", 5: None}
+
+
+def test_blocklist_host_wins_over_fragment(spark):
+    from batch3dfier_spark.operators.urltools import url_blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "http://bad.com/casino")], "doc_id bigint, url string"
+    )
+    bl = spark.createDataFrame([("bad.com",)], "blocked string")
+    rows = url_blocklist_filter(df, bl, ["casino"]).collect()
+    assert rows[0]["reason"] == "host"
+
+
+def test_blocklist_covers_every_row_once(spark):
+    from batch3dfier_spark.operators.urltools import url_blocklist_filter
+
+    df = spark.createDataFrame(
+        [(i, f"http://s{i % 3}.t.com/p") for i in range(30)],
+        "doc_id bigint, url string",
+    )
+    bl = spark.createDataFrame([("s0.t.com",)], "blocked string")
+    out = url_blocklist_filter(df, bl).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(30))
+    assert sum(r["reason"] == "host" for r in out) == 10
