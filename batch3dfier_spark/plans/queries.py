@@ -3491,6 +3491,251 @@ FROM s
 REGISTRY["url_filter"] = (q_url_filter, SQL_URL_FILTER)
 
 
+def _enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer x nation dimension snapshot for event enrichment."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        cust.join(F.broadcast(nat),
+                  cust["c_nationkey"] == nat["n_nationkey"])
+        .select("c_custkey", "c_mktsegment", "n_name")
+    )
+
+
+def _enrich_out(df: DataFrame) -> DataFrame:
+    return df.select(
+        "event_id", "user_id", "event_type", "value",
+        "c_mktsegment", "n_name",
+    )
+
+
+def q_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (streaming/events.enrich_events): events x broadcast
+    customer->nation dimension chain on user_id."""
+    from ..streaming.events import enrich_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = _enrich_dim(spark, sf_dir)
+    return _enrich_out(
+        enrich_events(ev, dim, ev["user_id"] == dim["c_custkey"])
+    )
+
+
+SQL_EVENTS_ENRICH = """
+SELECT event_id, user_id, event_type, value, c_mktsegment, n_name
+FROM events
+JOIN customer ON c_custkey = user_id
+JOIN nation ON n_nationkey = c_nationkey
+"""
+
+REGISTRY["events_enrich"] = (q_events_enrich, SQL_EVENTS_ENRICH)
+
+
+def q_events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin: the SAME enrichment expression over a
+    file-source stream — stream-static joins are STATELESS (the
+    broadcast dimension is a snapshot each micro-batch plans against),
+    so the append-mode AvailableNow drain equals the batch join
+    row-for-row and shares its SQL oracle."""
+    from ..streaming.events import (
+        enrich_events, read_event_stream, run_stream_to_df)
+
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    dim = _enrich_dim(spark, sf_dir)
+    joined = enrich_events(ev, dim, ev["user_id"] == dim["c_custkey"])
+    return _enrich_out(run_stream_to_df(joined, output_mode="append"))
+
+
+REGISTRY["events_enrich_stream"] = (q_events_enrich_stream,
+                                    SQL_EVENTS_ENRICH)
+
+
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-order query (the HAVING-on-the-fact
+    shape beside Q1/Q3/Q5): groupBy the FACT table on l_orderkey
+    (high-cardinality partial agg — no hot key possible, every group
+    is one order), HAVING sum(qty) > threshold, then join the small
+    surviving set back to orders and customers (AQE sees a shrunken
+    build side), top-100 via orderBy+limit = TakeOrderedAndProject.
+    Quantities are integral doubles; the sum runs in DECIMAL (exact,
+    order-independent) per the pricing_summary rule."""
+    qty_thr = 250
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .alias("_sum_qty"))
+        .where(F.col("_sum_qty") > qty_thr)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust),
+              orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd")
+            .alias("o_orderdate"),
+            "o_totalprice",
+            F.col("_sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_BIG_SPENDERS = """
+SELECT c_name, c_custkey, o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+REGISTRY["big_spenders"] = (q_big_spenders, SQL_BIG_SPENDERS)
+
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation coverage (§2.5 breadth): per-(lang, source)
+    doc/char totals plus per-lang and grand-total super-aggregate rows
+    in ONE pass — Catalyst expands the grouping sets and the partial
+    aggregation still combines map-side (3x the group rows of a plain
+    groupBy over a tiny key space; never a fact-table blowup).  Data
+    columns are non-null by fixture contract, so COALESCE('ALL')
+    disambiguates super-aggregate rows without grouping_id bitmask
+    semantics (which differ in bit order across engines)."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang_g"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source_g"),
+            "n_docs", "chars",
+        )
+    )
+
+
+SQL_CORPUS_ROLLUP = """
+SELECT COALESCE(lang, 'ALL') AS lang_g,
+       COALESCE(source, 'ALL') AS source_g,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+REGISTRY["corpus_rollup"] = (q_corpus_rollup, SQL_CORPUS_ROLLUP)
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT coverage: per-source doc counts pivoted into one column
+    per language.  The pivot value list is EXPLICIT (fixture lang set)
+    — an implicit pivot runs an extra distinct pass over the data to
+    discover values, which at 100 TB is a full scan spent inferring
+    what the caller already knows; empty cells coalesce to 0 to match
+    the oracle's FILTER counts."""
+    piv = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "source",
+        *[F.coalesce(F.col(lg), F.lit(0)).cast("bigint").alias(lg)
+          for lg in _PIVOT_LANGS],
+    )
+
+
+SQL_LANG_PIVOT = """
+SELECT source,
+       CAST(COUNT(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+       CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+       CAST(COUNT(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+       CAST(COUNT(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+       CAST(COUNT(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+FROM documents GROUP BY source
+"""
+
+REGISTRY["lang_pivot"] = (q_lang_pivot, SQL_LANG_PIVOT)
+
+
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer statistical aggregates (mean + sample variance)
+    per event_type: the fixture's 2-decimal values quantize to cents
+    (round(value*100) — the multiply and the rounding are IEEE-
+    identical in both engines), every sum then accumulates EXACT
+    integers in DECIMAL(38,0)/HUGEINT (order-independent — the naive
+    two-pass-free variance identity n*Σx² − (Σx)² is safe because
+    nothing is rounded until the end), and the final mean/variance are
+    ONE IEEE division each — bit-identical to the oracle, unlike
+    stddev_samp/var_samp whose float accumulation order differs
+    between engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).alias("_s"),
+            F.sum(cents * cents).alias("_ss"),
+        )
+        .select(
+            "event_type", "n",
+            (F.col("_s").cast("double") / (F.col("n") * 100))
+            .alias("mean_value"),
+            ((F.col("n") * F.col("_ss") - F.col("_s") * F.col("_s"))
+             .cast("double")
+             / (F.col("n") * (F.col("n") - 1) * F.lit(10000.0)))
+            .alias("var_value"),
+        )
+    )
+
+
+SQL_VALUE_STATS = """
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(s AS DOUBLE) / (n * 100) AS mean_value,
+       CAST(n * ss - s * s AS DOUBLE)
+         / (n * (n - 1) * 10000.0) AS var_value
+FROM (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS HUGEINT)) AS s,
+         SUM(CAST(ROUND(value * 100) AS HUGEINT)
+             * CAST(ROUND(value * 100) AS HUGEINT)) AS ss
+  FROM events GROUP BY event_type
+)
+"""
+
+REGISTRY["value_stats"] = (q_value_stats, SQL_VALUE_STATS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -50,6 +50,7 @@ __all__ = [
     "dedupe_events",
     "session_windows",
     "attribution_join",
+    "enrich_events",
     "user_running_totals",
     "run_stream_to_df",
 ]
@@ -236,6 +237,25 @@ def attribution_join(
         & (c["click_ts"] <= p["purchase_ts"])
     )
     return p.join(c, cond, "inner").drop("c_user_id")
+
+
+def enrich_events(
+    events: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-STATIC enrichment join: attach dimension attributes to
+    each event as it arrives.  The static side is broadcast — the
+    canonical streaming-ETL shape (Kafka events x a user/product
+    dimension): STATELESS (no watermark, no state store — the static
+    side is just a snapshot each micro-batch plans against), so an
+    AvailableNow drain in append mode equals the batch join
+    row-for-row, and the same expression runs unchanged in batch.
+    At 100 TB/day the dimension stays broadcast-sized by contract
+    (users/products, not facts); a fact-sized right side belongs in
+    attribution_join's stream-stream machinery instead."""
+    return events.join(F.broadcast(dim), on, how)
 
 
 def run_stream_to_df(

@@ -269,3 +269,26 @@ def test_attrib_stream_equals_batch(spark):
            .sort_values(keys).reset_index(drop=True))
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_enrich_stream_equals_batch(spark):
+    """Stream-static enrichment: the append-mode AvailableNow drain
+    equals the batch join row-for-row (stateless — no watermark)."""
+    from batch3dfier_spark.plans.queries import (
+        q_events_enrich, q_events_enrich_stream)
+
+    got = (q_events_enrich_stream(spark, SF).toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+    exp = (q_events_enrich(spark, SF).toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_enrich_batch_plan_is_broadcast(spark):
+    from batch3dfier_spark.plans.queries import q_events_enrich
+
+    plan = (q_events_enrich(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

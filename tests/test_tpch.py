@@ -59,3 +59,37 @@ def test_local_supplier_volume_plan_shape(spark):
     # the region->nation->supplier dimension chain travels broadcast
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Python" not in plan
+
+
+def test_big_spenders_matches_oracle(spark):
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    fn, sql = REGISTRY["big_spenders"]
+    got = (fn(spark, SF).toPandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    exp = _oracle(sql).sort_values("o_orderkey").reset_index(drop=True)
+    assert len(got) >= 1
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_big_spenders_plan_shape(spark):
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    plan = (REGISTRY["big_spenders"][0](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the customer dim broadcasts; top-100 is per-partition heaps
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_big_spenders_having_filters_fact_groups(spark):
+    """Every surviving order's summed quantity exceeds the threshold,
+    and at least one order was filtered out by the HAVING."""
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    got = REGISTRY["big_spenders"][0](spark, SF).toPandas()
+    assert (got["sum_qty"] > 250).all()
+    n_orders = _oracle("SELECT COUNT(DISTINCT l_orderkey) AS n "
+                       "FROM lineitem")["n"][0]
+    assert len(got) < n_orders
