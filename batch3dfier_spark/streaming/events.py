@@ -262,12 +262,24 @@ def run_stream_to_df(
     stream_df: DataFrame,
     output_mode: str = "complete",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain a streaming DataFrame with Trigger.AvailableNow into a
     memory sink and return the sink as a batch DataFrame (the batch-twin
     comparison harness; also how the driver-contract streaming queries
-    materialize)."""
+    materialize).
+
+    `state_partitions` sizes the stateful-operator partitioning for
+    THIS query (streaming pins spark.sql.shuffle.partitions at query
+    start into the checkpoint, so it is a per-query decision, not a
+    session one): every state partition is a store instance whose
+    delta files are written and committed EVERY micro-batch, so state
+    partitioning should track state volume, not batch parallelism —
+    at 32 session partitions a stream-stream join runs 64 store
+    commits per batch for kilobytes of state.  None keeps the session
+    default; a production job with large keyed state raises it."""
     spark = stream_df.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     name = "s" + uuid.uuid4().hex[:12]
     # checkpoints must be FRESH per drain (reusing offsets would make a
     # rerun skip data), so each gets a throwaway dir under the scratch
@@ -280,6 +292,9 @@ def run_stream_to_df(
     else:
         ckpt = checkpoint_dir
     try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(state_partitions))
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -290,6 +305,8 @@ def run_stream_to_df(
         )
         q.awaitTermination()
     finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if own_ckpt:
             import shutil
 
