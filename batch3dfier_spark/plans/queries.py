@@ -3736,6 +3736,41 @@ FROM (
 REGISTRY["value_stats"] = (q_value_stats, SQL_VALUE_STATS)
 
 
+_EXISTS_SQL_BODY = """
+SELECT c_custkey, c_name
+FROM {cust} c
+WHERE EXISTS (SELECT 1 FROM {ords} o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 150000)
+  AND NOT EXISTS (SELECT 1 FROM {ords} o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F')
+"""
+
+
+def q_exists_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql() SURFACE coverage: the same ANSI text the oracle
+    runs, with correlated EXISTS / NOT EXISTS subqueries — Catalyst
+    DECORRELATES both into left-semi / left-anti hash joins (no
+    per-row subquery execution exists in Spark at all; the plan is
+    two equi-joins AQE can broadcast or skew-split).  Everything else
+    in the engine is DataFrame-API by policy; this query pins that
+    the SQL entry point and the subquery rewrite behave identically."""
+    spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .createOrReplaceTempView("v_customer")
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("v_orders")
+    return spark.sql(
+        _EXISTS_SQL_BODY.format(cust="v_customer", ords="v_orders")
+    )
+
+
+REGISTRY["exists_customers"] = (
+    q_exists_customers,
+    _EXISTS_SQL_BODY.format(cust="customer", ords="orders"),
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -93,3 +93,23 @@ def test_big_spenders_having_filters_fact_groups(spark):
     n_orders = _oracle("SELECT COUNT(DISTINCT l_orderkey) AS n "
                        "FROM lineitem")["n"][0]
     assert len(got) < n_orders
+
+
+def test_exists_customers_decorrelates(spark):
+    """Correlated EXISTS/NOT EXISTS become semi/anti hash joins — no
+    per-row subquery machinery in the executed plan."""
+    from batch3dfier_spark.plans.queries import q_exists_customers
+
+    df = q_exists_customers(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Semi" in plan and "Anti" in plan
+    got = df.toPandas().sort_values("c_custkey").reset_index(drop=True)
+    exp = _oracle(
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = "
+        "c.c_custkey AND o.o_totalprice > 150000) AND NOT EXISTS "
+        "(SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey "
+        "AND o2.o_orderstatus = 'F')"
+    ).sort_values("c_custkey").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
