@@ -44,10 +44,45 @@ operators/dedup.py.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["semdedup"]
+
+
+def _centroid_cosines(
+    e: DataFrame, asg: DataFrame, C: np.ndarray, id_col: str
+) -> DataFrame:
+    """(id, _ccos) — each vector's cosine to ITS assigned centroid:
+    quantized-integer dot over the broadcast centroid matrix, one
+    map-only Arrow pass (the far_centroid survivor-priority input)."""
+    from .dedup import quantize_half_away
+
+    spark = e.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+    joined = e.join(asg, id_col)
+
+    def cos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cm = bc.value
+        c_nrm = np.sqrt((Cm * Cm).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = quantize_half_away(np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]))
+            cid = pdf["cid"].to_numpy()
+            dots = np.einsum("ij,ij->i", V, Cm[cid])
+            nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "_ccos": dots / (nrm * c_nrm[cid]),
+            })
+
+    return joined.mapInPandas(cos, schema=f"{id_col} bigint, _ccos double")
 
 
 def semdedup(
@@ -58,13 +93,33 @@ def semdedup(
     salt_buckets: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: str = "min_id",
 ) -> DataFrame:
     """(id, cid, is_dup) — one row per input vector: its frozen-seed
-    cluster and whether a LOWER-id member of the same (capped) cluster
-    is cosine-similar >= threshold to it.  Survivors of a duplicate
-    group are the min-id members — the same deterministic survivor
-    rule as dedup.exact_dedup.  Filter `~is_dup` downstream to prune.
+    cluster and whether a kept member of the same (capped) cluster is
+    cosine-similar >= threshold to it.  Filter `~is_dup` downstream.
+
+    `keep` picks the survivor of a duplicate pair:
+    - 'min_id' (default, the oracle contract): the lower id keeps —
+      the same deterministic survivor rule as dedup.exact_dedup.
+    - 'far_centroid' (the SemDeDup paper's rule): the member with the
+      LOWER cosine to its cluster centroid keeps — the paper keeps
+      the least-typical example of each duplicate group because it
+      carries the most marginal information; centroid cosines come
+      from the same quantized-integer arithmetic, ties break to the
+      lower id, so the rule stays deterministic (pytest-gated — the
+      contract query runs min_id).
+
+    Known composition cost: the candidate self-join evaluates the
+    assignment+cap subplan on BOTH sides (Arrow-UDF subplans defeat
+    Spark's exchange reuse — plan-visible in the pytest).  The
+    assignment is a map-only matmul so the second pass is cheap at
+    bench scale; a 100 TB pipeline materializes the assignment table
+    once (the textpipe pattern used for near-dup labels) and feeds
+    both sides from parquet.
     """
+    if keep not in ("min_id", "far_centroid"):
+        raise ValueError(f"keep must be min_id|far_centroid, got {keep}")
     from .dedup import embedding_near_dups
     from .similarity import _assign_centroids, ivf_seed_centroids
 
@@ -100,14 +155,31 @@ def semdedup(
         )
         .select("id_a", "id_b")
     )
-    dup_ids = (
-        embedding_near_dups(
-            embeddings, threshold, id_col, vec_col, candidates=pairs
-        )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-        .withColumn("_dup", F.lit(True))
+    hits = embedding_near_dups(
+        embeddings, threshold, id_col, vec_col, candidates=pairs
     )
+    if keep == "min_id":
+        marked = hits.select(F.col("id_b").alias(id_col))
+    else:
+        # paper rule: per hit pair, the member MORE similar to its
+        # centroid is the duplicate (tie -> the higher id); centroid
+        # cosines are one extra map-only Arrow pass
+        cc = _centroid_cosines(e, asg, C, id_col)
+        marked = (
+            hits.join(cc.withColumnsRenamed(
+                {id_col: "id_a", "_ccos": "_ca"}), "id_a")
+            .join(cc.withColumnsRenamed(
+                {id_col: "id_b", "_ccos": "_cb"}), "id_b")
+            .select(
+                F.when(
+                    (F.col("_ca") > F.col("_cb"))
+                    | ((F.col("_ca") == F.col("_cb"))
+                       & (F.col("id_a") > F.col("id_b"))),
+                    F.col("id_a"),
+                ).otherwise(F.col("id_b")).alias(id_col)
+            )
+        )
+    dup_ids = marked.distinct().withColumn("_dup", F.lit(True))
     return (
         asg.join(dup_ids, id_col, "left")
         .select(

@@ -75,3 +75,67 @@ def test_output_covers_every_vector_once(spark):
     out = semdedup(_emb_df(spark, vecs), threshold=0.9, n_centroids=8)
     ids = [r["vec_id"] for r in out.collect()]
     assert sorted(ids) == list(range(50))
+
+
+def test_far_centroid_keeps_least_typical(spark):
+    # one cluster: seed s, a copy of s, and a jittered copy; min_id
+    # keeps vector 0, far_centroid keeps the member with the LOWEST
+    # centroid cosine among each duplicate pair
+    rng = np.random.default_rng(3)
+    s = _unit(rng.normal(size=8))
+    vecs = [s, _unit(s + 5e-3), _unit(s + 1e-2)]
+    min_id = {
+        r["vec_id"]: r["is_dup"]
+        for r in semdedup(
+            _emb_df(spark, vecs), threshold=0.95, n_centroids=1
+        ).collect()
+    }
+    far = {
+        r["vec_id"]: r["is_dup"]
+        for r in semdedup(
+            _emb_df(spark, vecs), threshold=0.95, n_centroids=1,
+            keep="far_centroid",
+        ).collect()
+    }
+    assert min_id == {0: False, 1: True, 2: True}
+    # vector 0 IS the centroid (cosine 1.0) -> most typical -> pruned;
+    # vector 2 is farthest from the centroid -> kept
+    assert far[0] is True
+    assert far[2] is False
+
+
+def test_far_centroid_no_dups_is_noop(spark):
+    vecs = [np.eye(8)[i] for i in range(6)]
+    out = semdedup(
+        _emb_df(spark, vecs), threshold=0.5, n_centroids=3,
+        keep="far_centroid",
+    )
+    assert all(not r["is_dup"] for r in out.collect())
+
+
+def test_semdedup_rejects_unknown_keep(spark):
+    with pytest.raises(ValueError):
+        semdedup(_emb_df(spark, [np.eye(4)[0]]), keep="best")
+
+
+def test_semdedup_cap_windows_are_salted(spark):
+    """The cluster-cap selection must be the two-level salted shape:
+    two Window nodes, the first partitioned by (cid, id % salt) — a
+    mega-cluster can never land on one task as a single window
+    partition."""
+    rng = np.random.default_rng(5)
+    vecs = [_unit(rng.normal(size=8)) for _ in range(40)]
+    plan = (
+        semdedup(_emb_df(spark, vecs), n_centroids=4, salt_buckets=32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # two Window nodes per capped-selection (salted then final), and
+    # the selection appears on BOTH sides of the candidate self-join
+    assert plan.count("Window") == 4
+    assert "% 32" in plan  # the salt term feeding the first partition
+    # the salted window's partition spec carries the salt column
+    import re
+
+    salted = [l for l in plan.splitlines()
+              if "windowspecdefinition" in l and "_w0" in l]
+    assert len(salted) == 2
