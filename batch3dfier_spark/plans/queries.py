@@ -3771,6 +3771,41 @@ REGISTRY["exists_customers"] = (
 )
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD outlier flagging (operators/robust.mad_outliers): per
+    event_type, |value - median| > 5 * MAD.  Medians are exact
+    interpolating percentiles (the percentile_heights parity law);
+    deviations round to 4 decimals before the second aggregation so
+    both engines feed identical values forward.  Two tiny-key
+    groupBys broadcast back — the fact table never shuffles."""
+    from ..operators.robust import mad_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mad_outliers(ev, k=5.0)
+
+
+SQL_VALUE_OUTLIERS = """
+WITH med AS (
+  SELECT event_type,
+         ROUND(QUANTILE_CONT(value, 0.5), 4) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value,
+         ROUND(ABS(e.value - m.med), 4) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type,
+         ROUND(QUANTILE_CONT(adev, 0.5), 4) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value, d.adev,
+       d.adev > 5.0 * m.mad AS is_outlier
+FROM dev d JOIN mad m USING (event_type)
+"""
+
+REGISTRY["value_outliers"] = (q_value_outliers, SQL_VALUE_OUTLIERS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
