@@ -3806,6 +3806,68 @@ FROM dev d JOIN mad m USING (event_type)
 REGISTRY["value_outliers"] = (q_value_outliers, SQL_VALUE_OUTLIERS)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange round trip (source/sink breadth beside parquet
+    and JSONL): export the documents table as ORC — the other columnar
+    format Spark bundles natively (zlib-compressed, splittable, with
+    predicate pushdown like parquet) — and read it back.  Write-once
+    into the digest-keyed scratch root; the value hash certifies the
+    full encode/decode cycle against the parquet original."""
+    import os
+
+    from ..scratch import scratch_dir
+
+    out = os.path.join(scratch_dir("orc", sf_dir), "documents_orc")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        _docs(spark, sf_dir).write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+SQL_ORC_ROUNDTRIP = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents"
+)
+
+REGISTRY["orc_roundtrip"] = (q_orc_roundtrip, SQL_ORC_ROUNDTRIP)
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage (§2.4 beside U1/U2): purchasing users
+    INTERSECT erroring users, tagged 'both', unioned with purchasing
+    EXCEPT erroring, tagged 'only_purchase'.  Catalyst plans INTERSECT
+    as a left-semi and EXCEPT as a left-anti over distinct inputs —
+    the same dedup-then-join shape the engine uses by hand elsewhere,
+    here through the declarative operators."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id")
+    err = ev.where(F.col("event_type") == "error").select("user_id")
+    both = purch.intersect(err).select(
+        F.lit("both").alias("tag"), "user_id"
+    )
+    only = purch.subtract(err).select(
+        F.lit("only_purchase").alias("tag"), "user_id"
+    )
+    return both.unionByName(only)
+
+
+SQL_SET_OPS = """
+SELECT 'both' AS tag, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT 'only_purchase' AS tag, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+REGISTRY["set_ops"] = (q_set_ops, SQL_SET_OPS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
