@@ -72,6 +72,16 @@ Config shape::
         policy: longest                  #   (longest|longest_chars|
                                          #   min_id) from the
                                          #   materialized labels
+      - op: semantic_dedup               # SemDeDup over an embedding
+        threshold: 0.85                  #   column (joined upstream);
+        n_centroids: 1024                #   min-id survivor per cluster
+      - op: url_filter                   # C4-style blocklist: drop
+        blocked_hosts: [bad.example]     #   blocked domains (and their
+        blocked_fragments: [casino]      #   subdomains) + URL fragments
+      - op: c4_filter                    # C4 line-level page cleaning
+      - op: quality_classifier           # linear quality-model scores
+      - op: lm_filter                    # unigram-LM perplexity gate
+      - op: contamination_filter         # n-gram benchmark-overlap gate
 """
 
 from __future__ import annotations
