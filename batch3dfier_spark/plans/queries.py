@@ -1725,12 +1725,17 @@ def q_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min gap): two reused windows + agg,
-    one shuffle on user_id (operators/sessions.py)."""
+    """Gap-based sessionization (30-min gap) on the HOT-KEY-SAFE
+    two-pass path (operators/sessions.py, ts_bucket_s=3600): islands
+    per (user, hour bucket), then a bounded per-user summary
+    re-island — row-identical to the single-window plan (the fixture's
+    sessions regularly span bucket boundaries, so the merge pass is
+    exercised for real) and gated by the same single-window SQL
+    oracle."""
     from ..operators.sessions import sessionize
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return sessionize(ev, gap_minutes=30.0)
+    return sessionize(ev, gap_minutes=30.0, ts_bucket_s=3600)
 
 
 SQL_SESSIONIZE = """

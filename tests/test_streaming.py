@@ -292,3 +292,78 @@ def test_enrich_batch_plan_is_broadcast(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_bucketed_equals_single_window(spark):
+    """The two-pass bucketed path is row-identical to the
+    single-window plan on the fixture (sessions span hour-bucket
+    boundaries, so the merge pass does real work)."""
+    from batch3dfier_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cols = ["user_id", "session_seq"]
+    plain = (sessionize(ev, gap_minutes=30.0).toPandas()
+             .sort_values(cols).reset_index(drop=True))
+    buck = (sessionize(ev, gap_minutes=30.0, ts_bucket_s=3600)
+            .toPandas().sort_values(cols).reset_index(drop=True))
+    assert len(plain) == len(buck) > 0
+    pd.testing.assert_frame_equal(buck, plain[buck.columns])
+    # the merge pass actually merged: more local fragments than
+    # final sessions
+    from pyspark.sql import functions as F
+
+    frags = (
+        ev.withColumn("_b", F.floor(F.unix_timestamp("ts") / 3600))
+        .select("user_id", "_b").distinct().count()
+    )
+    assert frags > len(buck)
+
+
+def test_sessionize_bucketed_hot_user(spark):
+    """A single hot user with 100k events: the bucketed path windows
+    on (user, bucket) — partitions bounded by the bucket — and still
+    reconstructs the exact session set, including sessions that span
+    bucket boundaries."""
+    import datetime as dt
+
+    from batch3dfier_spark.operators.sessions import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 100k events, 60s apart -> one giant session spanning ~69 days of
+    # hour buckets; plus a separated second session at the end
+    for i in range(100_000):
+        rows.append((i, base + dt.timedelta(seconds=60 * i), 7, 1.0))
+    far = base + dt.timedelta(seconds=60 * 100_000 + 10_000)
+    rows.append((100_000, far, 7, 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    got = (sessionize(ev, gap_minutes=30.0, ts_bucket_s=3600)
+           .orderBy("session_seq").collect())
+    assert len(got) == 2
+    assert got[0]["n_events"] == 100_000
+    assert got[1]["n_events"] == 1
+    assert got[0]["duration_s"] == 60 * 99_999
+
+
+def test_sessionize_bucketed_boundary_gap_rule(spark):
+    """Events exactly `gap` apart across a bucket boundary stay one
+    session (<= is not a start); gap+1s apart split — the same law as
+    the single-window plan, enforced across the merge pass."""
+    import datetime as dt
+
+    from batch3dfier_spark.operators.sessions import sessionize
+
+    b = dt.datetime(2024, 1, 1, 0, 59, 0)
+    rows = [
+        (0, b, 1, 1.0),
+        (1, b + dt.timedelta(seconds=1800), 1, 1.0),   # exactly gap
+        (2, b + dt.timedelta(seconds=1800 + 1801), 1, 1.0),  # > gap
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    got = (sessionize(ev, gap_minutes=30.0, ts_bucket_s=3600)
+           .orderBy("session_seq").collect())
+    assert [r["n_events"] for r in got] == [2, 1]
