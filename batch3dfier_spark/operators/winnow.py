@@ -153,19 +153,21 @@ def winnow_dup_pairs(
     `min_shared` DISTINCT fingerprint values (the MOSS-style overlap
     report).  Per-fp buckets are capped to the lowest `bucket_cap` ids
     (deterministic, oracle-mirrored) so a boilerplate fingerprint
-    cannot produce an unbounded pair set."""
+    cannot produce an unbounded pair set; the cap itself is the salted
+    two-level selection (operators/topk — r6: a raw per-fp window held
+    every holder of a boilerplate fingerprint on one task)."""
     fps = (
         winnow_fingerprints(df, n, w, text_col, id_col)
         .select(id_col, "fp")
         .distinct()
     )
     if bucket_cap is not None:
-        cap_w = Window.partitionBy("fp").orderBy(id_col)
-        fps = (
-            fps.withColumn("_rn", F.row_number().over(cap_w))
-            .where(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
+        from .topk import salted_top_k
+
+        fps = salted_top_k(
+            fps, ["fp"], [F.col(id_col).asc()], k=bucket_cap,
+            salt_col=F.col(id_col), rank_name="_rn",
+        ).drop("_rn")
     a = fps.withColumnRenamed(id_col, "id_a")
     b = fps.withColumnRenamed(id_col, "id_b")
     return (

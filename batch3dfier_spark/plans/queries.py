@@ -1708,19 +1708,22 @@ FROM events GROUP BY 1, 2
 
 
 def q_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking window: top-3 events by value per type (deterministic
-    event_id tie-break)."""
-    from pyspark.sql import Window
+    """Ranking window: top-3 events by value per type, via the salted
+    two-level selection (operators/topk.salted_top_k — r6: the old
+    single window held EVERY event of a type on one task; the
+    (value DESC, event_id ASC) order is total, so the two-level
+    selection is provably identical and the oracle keeps its single
+    ROW_NUMBER)."""
+    from ..operators.topk import salted_top_k
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").desc(), F.col("event_id").asc()
-    )
-    return (
-        ev.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select("event_type", F.col("rank").cast("int").alias("rank"),
-                "event_id", "value")
+    return salted_top_k(
+        ev, ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=3, salt_col=F.col("event_id"),
+    ).select(
+        "event_type", F.col("rank").cast("int").alias("rank"),
+        "event_id", "value",
     )
 
 
