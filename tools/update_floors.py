@@ -20,6 +20,15 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _run_ord(name: str) -> int:
+    """Numeric run index from a bench_r*_runN.json filename (lexical
+    order breaks at run10 vs run2)."""
+    import re
+
+    m = re.search(r"run(\d+)\.json$", name)
+    return int(m.group(1)) if m else 0
+
+
 def main() -> None:
     runs_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         HERE, "bench_runs", "r6")
@@ -28,6 +37,10 @@ def main() -> None:
         rec = json.load(f)
     proto = rec.get("protocol", {})
     floors = rec.setdefault("floors", {})
+    # a hand-rebaselined (reshaped) query only ratchets from runs at or
+    # after its pin — earlier run files carry the OLD implementation's
+    # minima, which the new code cannot legitimately reach
+    pins = rec.get("pinned_from_run", {})
     best: dict[str, float] = {}
     for n in sorted(os.listdir(runs_dir)):
         if not (n.startswith("bench_") and n.endswith(".json")):
@@ -40,6 +53,8 @@ def main() -> None:
         if d.get("sf") != proto.get("sf") or d.get("pages") != proto.get("pages"):
             continue
         for q, arr in d.get("runs", {}).items():
+            if q in pins and _run_ord(n) < _run_ord(pins[q]):
+                continue
             m = min(arr)
             if q not in best or m < best[q]:
                 best[q] = m
