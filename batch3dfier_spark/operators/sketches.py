@@ -42,7 +42,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "sql_kmv_distinct"]
+__all__ = [
+    "kmv_distinct", "sql_kmv_distinct",
+    "bloom_build", "bloom_probe", "sql_bloom_probe",
+    "cms_build", "cms_estimate", "sql_cms_estimate",
+]
 
 _BITS = 48
 _D = 1 << _BITS  # hash space
@@ -175,7 +179,6 @@ FROM kept GROUP BY grp
 # shared 48-bit sha2 hash law guarantees (same scheme as KMV above).
 # ---------------------------------------------------------------------------
 
-__all__ += ["bloom_build", "bloom_probe", "sql_bloom_probe"]
 
 
 def _bloom_bits(col, m_bits: int, k: int, seed: str):
@@ -267,4 +270,116 @@ hits AS (
 )
 SELECT {select_cols}, (COALESCE(h.n_hit, 0) >= {k}) AS maybe_member
 FROM ({probes_sql}) pr LEFT JOIN hits h USING ({id_col})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — frequency estimation in sublinear space
+# ---------------------------------------------------------------------------
+
+def _cms_cells(col, depth: int, width: int, seed: str):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (_hash48(col, f"{seed}cms{d}") % width).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "",
+) -> DataFrame:
+    """(d, w, n) — the depth x width counter table of the count-min
+    sketch (Cormode & Muthukrishnan 2005) as sparse rows: every input
+    occurrence increments one cell per depth row.  Estimates are
+    one-sided (never under the true count); errors are DETERMINISTIC
+    functions of the 48-bit sha2 cell law, so the DuckDB oracle
+    reproduces even the collision overestimates bit-for-bit.
+    Mergeable: cms(A ∪ B) = (cms(A) ∪ cms(B)).groupBy(d, w).sum(n).
+
+    Scale shape: one map-only explode (depth rows per occurrence) +
+    one partial-aggregating groupBy over at most depth*width cells —
+    a hot token combines map-side into its cells like any hash agg."""
+    return (
+        df.select(
+            F.explode(
+                _cms_cells(F.col(key_col), depth, width, seed)
+            ).alias("c")
+        )
+        .groupBy(
+            F.col("c.d").alias("d"), F.col("c.w").alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    cms: DataFrame,
+    key_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "",
+    broadcast_sketch: bool = True,
+) -> DataFrame:
+    """(probe cols..., est) — est = min over depth rows of the probed
+    cells (0 if any cell is absent).  The sketch side is broadcast by
+    default (<= depth*width rows); the per-probe explode is map-only
+    and the min-agg keys on the probe key, so a hot probe is depth
+    rows, never a hot group."""
+    s = F.broadcast(cms) if broadcast_sketch else cms
+    exploded = probes.select(
+        key_col,
+        F.explode(
+            _cms_cells(F.col(key_col), depth, width, seed)
+        ).alias("c"),
+    ).select(key_col, F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+    cells = (
+        exploded.join(s, ["d", "w"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
+    )
+    return probes.join(cells, key_col).select(probes["*"], "est")
+
+
+def sql_cms_estimate(
+    build_keys_sql: str,
+    probes_sql: str,
+    key_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "",
+) -> str:
+    """DuckDB twin: identical 48-bit sha2 cell law, identical sparse
+    counter table, identical min-over-rows estimate — collision
+    overestimates reproduce exactly."""
+    def cells(src: str, extra: str) -> str:
+        pos = ", ".join(
+            f"{{'d': {d}, 'w': ({_sql_hexint12(key_col, f'{seed}cms{d}')})"
+            f" % {width}}}"
+            for d in range(depth)
+        )
+        return (f"SELECT {extra} UNNEST([{pos}], recursive := true) "
+                f"FROM ({src})")
+
+    return f"""
+WITH cms AS (
+  SELECT d, w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({cells(build_keys_sql, '')})
+  GROUP BY d, w
+),
+probe_cells AS (
+  {cells(probes_sql, key_col + ',')}
+)
+SELECT p.{key_col},
+       CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est
+FROM probe_cells p LEFT JOIN cms c USING (d, w)
+GROUP BY p.{key_col}
 """

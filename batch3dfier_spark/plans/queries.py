@@ -3876,6 +3876,49 @@ SELECT 'only_purchase' AS tag, user_id FROM (
 REGISTRY["set_ops"] = (q_set_ops, SQL_SET_OPS)
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min token-frequency estimates (operators/sketches
+    cms_build/cms_estimate): a 4x256 counter table over every token
+    occurrence (width deliberately small so real hash collisions —
+    deterministic one-sided overestimates — are part of the value
+    hash), probed with the distinct tokens of the doc_id%101 docs.
+    Build = one map-only explode + a <= depth*width-cell hash agg;
+    probe = broadcast sketch + per-probe min."""
+    from ..operators.bm25 import _occurrences
+    from ..operators.sketches import cms_build, cms_estimate
+
+    docs = _docs(spark, sf_dir)
+    occ = _occurrences(docs, "text", "doc_id").select("token")
+    cms = cms_build(occ, "token", depth=4, width=256)
+    probes = (
+        _occurrences(docs.where(F.col("doc_id") % 101 == 0),
+                     "text", "doc_id")
+        .select("token").distinct()
+    )
+    return cms_estimate(probes, cms, "token", depth=4, width=256)
+
+
+def _sql_cms_counts() -> str:
+    from ..operators.sketches import sql_cms_estimate
+
+    occ = (
+        "SELECT UNNEST(CASE WHEN LENGTH(TRIM(COALESCE(text, ''))) = 0"
+        " THEN CAST([] AS VARCHAR[])"
+        " ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') END) AS token"
+        " FROM documents{where}"
+    )
+    return sql_cms_estimate(
+        build_keys_sql=occ.format(where=""),
+        probes_sql=("SELECT DISTINCT token FROM ("
+                    + occ.format(where=" WHERE doc_id % 101 = 0")
+                    + ")"),
+        depth=4, width=256,
+    )
+
+
+REGISTRY["cms_counts"] = (q_cms_counts, _sql_cms_counts())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -176,3 +176,63 @@ def test_bloom_plan_has_no_window_and_no_python(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
     assert "Python" not in plan
+
+
+def test_cms_never_underestimates_and_is_exact_when_uncollided(spark):
+    from batch3dfier_spark.operators.sketches import (
+        cms_build, cms_estimate)
+
+    rows = [("a",)] * 100 + [("b",)] * 7 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "token string")
+    cms = cms_build(df, "token", depth=4, width=1024)
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("absent",)], "token string")
+    got = {r["token"]: r["est"]
+           for r in cms_estimate(probes, cms, "token",
+                                 depth=4, width=1024).collect()}
+    # one-sided error: est >= truth always
+    assert got["a"] >= 100 and got["b"] >= 7 and got["c"] >= 1
+    assert got["absent"] >= 0
+    # with 3 keys in 4x1024 cells, collisions are absent -> exact
+    assert got["a"] == 100 and got["b"] == 7 and got["c"] == 1
+    assert got["absent"] == 0
+
+
+def test_cms_is_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from batch3dfier_spark.operators.sketches import (
+        cms_build, cms_estimate)
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "token string")
+    b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 4, "token string")
+    merged = (
+        cms_build(a, "token", width=512)
+        .unionByName(cms_build(b, "token", width=512))
+        .groupBy("d", "w").agg(F.sum("n").alias("n"))
+    )
+    whole = cms_build(a.unionByName(b), "token", width=512)
+    probes = spark.createDataFrame([("x",), ("y",), ("z",)], "token string")
+    em = {r["token"]: r["est"]
+          for r in cms_estimate(probes, merged, "token",
+                                width=512).collect()}
+    ew = {r["token"]: r["est"]
+          for r in cms_estimate(probes, whole, "token",
+                                width=512).collect()}
+    assert em == ew == {"x": 8, "y": 2, "z": 4}
+
+
+def test_cms_contract_matches_oracle(spark):
+    import duckdb
+
+    from batch3dfier_spark.plans.queries import REGISTRY
+
+    fn, sql = REGISTRY["cms_counts"]
+    got = (fn(spark, SF).toPandas()
+           .sort_values("token").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    exp = con.sql(sql).df().sort_values("token").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
