@@ -3919,6 +3919,30 @@ def _sql_cms_counts() -> str:
 REGISTRY["cms_counts"] = (q_cms_counts, _sql_cms_counts())
 
 
+def q_lm2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring (operators/lmscore.lm2_score): the
+    conditional-probability upgrade of lm_score — add-one bigram
+    model P(w2|w1) = (cnt2+1)/(cnt1+V) self-trained on the corpus,
+    per-doc cost in EXACT integer bits, milli-bits-per-bigram
+    normalization, tertile-threshold keep.  Bigrams are built
+    MAP-ONLY (arrays_zip over shifted slices — no HOF lambda, no
+    position join); the probe is two AQE-splittable equi-joins."""
+    from ..operators.lmscore import lm2_score, lm2_train, lm_train
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return lm2_score(docs, lm_train(docs), lm2_train(docs)).select(
+        "doc_id", "lm2_bits", "lm2_mbits_big", "lm2_kept")
+
+
+def _sql_lm2_score() -> str:
+    from ..operators.lmscore import sql_lm2_score
+
+    return sql_lm2_score()
+
+
+REGISTRY["lm2_score"] = (q_lm2_score, _sql_lm2_score())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

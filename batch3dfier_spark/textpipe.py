@@ -397,13 +397,26 @@ def _apply_step(spark: SparkSession, df: DataFrame, step: dict) -> DataFrame:
         return df.join(clean, "doc_id")
     if op == "lm_filter":
         # CCNet-style perplexity filter: self-trained unless the
-        # config points at a reference corpus (operators/lmscore.py)
+        # config points at a reference corpus (operators/lmscore.py);
+        # order: 2 selects the bigram model
         from .operators.lmscore import (
-            DEFAULT_LM_THRESHOLD, lm_score, lm_train)
+            DEFAULT_LM2_THRESHOLD, DEFAULT_LM_THRESHOLD,
+            lm2_score, lm2_train, lm_score, lm_train)
 
         text_col = step.get("text_col", "text")
         ref = (spark.read.parquet(step["reference"])
                if step.get("reference") else df)
+        if int(step.get("order", 1)) == 2:
+            scored = lm2_score(
+                df, lm_train(ref, text_col=text_col),
+                lm2_train(ref, text_col=text_col), text_col=text_col,
+                threshold_mbits=int(step.get("threshold_mbits",
+                                             DEFAULT_LM2_THRESHOLD)),
+            )
+            kept = scored.where(F.col("lm2_kept"))
+            if step.get("keep_score"):
+                return kept.drop("lm2_kept")
+            return kept.drop("lm2_bits", "lm2_mbits_big", "lm2_kept")
         scored = lm_score(
             df, lm_train(ref, text_col=text_col), text_col=text_col,
             threshold_mbits=int(step.get("threshold_mbits",

@@ -90,3 +90,52 @@ def test_default_threshold_splits_the_fixture(spark):
         "lm_kept").toPandas()
     frac = pdf["lm_kept"].mean()
     assert 0.05 <= frac <= 0.95
+
+
+def test_lm2_hand_computed_costs(spark):
+    """Tiny corpus, hand-checked bigram bits: train 'a b a b' ->
+    cnt1(a)=2, cnt1(b)=2, V=2, cnt2('a b')=2, cnt2('b a')=1."""
+    from batch3dfier_spark.operators.lmscore import (
+        lm2_score, lm2_train, lm_train)
+
+    train = spark.createDataFrame(
+        [(0, "a b a b")], "doc_id bigint, text string")
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "b a"), (3, "a c"), (4, "x")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in lm2_score(
+        score, lm_train(train), lm2_train(train),
+        threshold_mbits=2000).collect()}
+    # 'a b': bits((2+2) div (2+1)) = bits(1) = 1
+    assert got[1]["lm2_bits"] == 1
+    # 'b a': bits((2+2) div (1+1)) = bits(2) = 2
+    assert got[2]["lm2_bits"] == 2
+    # 'a c' unseen bigram, seen context: bits((2+2) div 1) = 3
+    assert got[3]["lm2_bits"] == 3
+    # single token: no bigram -> 0 bits, not kept
+    assert got[4]["lm2_bits"] == 0 and not got[4]["lm2_kept"]
+    assert got[1]["lm2_kept"] and not got[3]["lm2_kept"]
+
+
+def test_lm2_unseen_context_pays_vocab_bits(spark):
+    from batch3dfier_spark.operators.lmscore import (
+        lm2_score, lm2_train, lm_train)
+
+    train = spark.createDataFrame(
+        [(0, "a b c d")], "doc_id bigint, text string")
+    score = spark.createDataFrame(
+        [(1, "zz qq")], "doc_id bigint, text string")
+    got = lm2_score(score, lm_train(train), lm2_train(train)).collect()[0]
+    # unseen context: bits((0+4) div (0+1)) = bits(4) = 3
+    assert got["lm2_bits"] == 3
+
+
+def test_lm2_bigram_plan_is_lambda_free(spark):
+    """Bigram construction is arrays_zip over slices — no HOF lambda
+    (which would defeat the codegen cache) and no per-position join."""
+    from batch3dfier_spark.plans.queries import q_lm2_score
+
+    plan = (q_lm2_score(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "lambdafunction" not in plan.lower()
+    assert "Python" not in plan

@@ -716,3 +716,30 @@ def test_textpipe_url_filter_step(spark, tmp_path):
     assert report["rows_out"] == 1
     kept = spark.read.parquet(cfg["output"]["path"]).collect()
     assert [r["doc_id"] for r in kept] == [3]
+
+
+def test_textpipe_lm_filter_order2(spark, tmp_path):
+    """lm_filter order: 2 runs the bigram model and keeps exactly the
+    operator's lm2_kept set."""
+    from batch3dfier_spark.operators.lmscore import (
+        lm2_score, lm2_train, lm_train)
+    from batch3dfier_spark.textpipe import run_textpipe
+
+    cfg = {
+        "input": {"documents": f"{SF}/documents.parquet"},
+        "output": {"path": str(tmp_path / "out")},
+        "steps": [{"op": "lm_filter", "order": 2}],
+    }
+    report = run_textpipe(spark, cfg)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exp = lm2_score(
+        docs.select("doc_id", "text"), lm_train(docs), lm2_train(docs)
+    ).toPandas()
+    exp_kept = set(exp[exp["lm2_kept"]]["doc_id"])
+    assert 0 < len(exp_kept) < 500
+    kept = set(
+        spark.read.parquet(cfg["output"]["path"])
+        .select("doc_id").toPandas()["doc_id"]
+    )
+    assert kept == exp_kept
+    assert report["rows_out"] == len(exp_kept)
