@@ -52,6 +52,33 @@ def _hashed(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _reset_table(spark: SparkSession, table: str) -> None:
+    """Make ``mode("overwrite").saveAsTable(table)`` idempotent under ANY
+    session/warehouse combination.  ``overwrite`` can only replace a table
+    the *current* catalog knows about; a leftover location directory from a
+    previous session (fresh metastore, dirty warehouse cwd) fails CREATE
+    with LOCATION_ALREADY_EXISTS.  So: drop the catalog entry if present,
+    then remove a stale location directory the catalog does not own."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "") or ""
+    parsed = urlparse(wh)
+    if parsed.scheme not in ("", "file"):  # non-local warehouse: catalog
+        return  # drop above is all we can (and need to) do locally
+    root = parsed.path or wh
+    parts = table.split(".")
+    name = parts[-1].lower()
+    candidates = [os.path.join(root, name)]
+    if len(parts) > 1:  # db-qualified: <warehouse>/<db>.db/<table>
+        candidates.insert(0, os.path.join(root, parts[-2].lower() + ".db", name))
+    for loc in candidates:
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+
+
 def register_corpus(
     spark: SparkSession,
     corpus: DataFrame,
@@ -64,6 +91,7 @@ def register_corpus(
     table (text_sha-bucketed, one row per distinct hash with its
     keeper id).  One shuffle now; zero corpus shuffles on every later
     increment."""
+    _reset_table(spark, table)
     (
         _hashed(corpus, text_col, id_col)
         .groupBy("text_sha")
@@ -197,6 +225,8 @@ def register_minhash_corpus(
     reading them back."""
     from .dedup import band_rows, minhash_signatures
 
+    _reset_table(spark, table + "_sigs")
+    _reset_table(spark, table + "_bands")
     sigs = minhash_signatures(
         corpus, text_col=text_col, id_col=id_col,
         num_perm=num_perm, shingle_k=shingle_k,

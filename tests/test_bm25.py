@@ -78,11 +78,18 @@ def test_bm25_scale_shape(spark):
     qs = docs.where(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
     )
-    plan = (
-        bm25_topk(docs, qs)._jdf.queryExecution().executedPlan().toString()
-    )
-    # query vocabulary + query terms + corpus scalars all broadcast;
-    # the corpus side never shuffles on a query key
-    assert plan.count("BroadcastExchange") >= 3
-    # both top-k windows present: salted then final
-    assert plan.count("Window") >= 2
+    out = bm25_topk(docs, qs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # round-7 shape: scoring is one Arrow kernel over per-doc metadata
+    # against the broadcast query incidence matrix — the Q x N pair
+    # explosion and its (query_id, doc_id) hash aggregation are gone
+    assert "MapInPandas" in plan
+    # exactly one ranking window (over O(n_batches * Q * k) kernel
+    # output; WindowGroupLimit pre-filters are fine), no salted
+    # pre-window, no pair-level sort-merge join in the plan
+    import re
+
+    assert len(re.findall(r"\bWindow \[", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    for h in getattr(out, "_persisted_intermediates", []):
+        h.unpersist()

@@ -245,3 +245,56 @@ def test_near_increment_contract_matches_oracle(spark):
     assert 0 < len(got) < n_batch
     spark.sql("DROP TABLE IF EXISTS b3d_ninc_contract_sigs")
     spark.sql("DROP TABLE IF EXISTS b3d_ninc_contract_bands")
+
+
+def test_register_survives_stale_location(spark):
+    """A leftover warehouse directory from a PREVIOUS session (fresh
+    metastore, dirty warehouse) must not fail register_* with
+    LOCATION_ALREADY_EXISTS — the round-6 driver red row."""
+    import os
+
+    from urllib.parse import urlparse
+
+    from batch3dfier_spark.operators.incremental import (
+        dedup_increment,
+        near_dedup_increment,
+        register_corpus,
+        register_minhash_corpus,
+    )
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("inc_stale_t", "ninc_stale_t_sigs", "ninc_stale_t_bands"):
+        # simulate the stale dir: catalog has never seen the table but
+        # its managed location already exists on disk
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(wh, t)
+        os.makedirs(loc, exist_ok=True)
+        with open(os.path.join(loc, "junk"), "w") as f:
+            f.write("stale")
+
+    try:
+        register_corpus(
+            spark, _df(spark, [(1, "alpha"), (2, "beta")]),
+            "inc_stale_t", n_buckets=4,
+        )
+        got = dedup_increment(
+            spark, _df(spark, [(10, "alpha"), (11, "new")]), "inc_stale_t"
+        )
+        assert list(got.toPandas()["doc_id"]) == [11]
+
+        register_minhash_corpus(
+            spark,
+            _df(spark, [(1, "the quick brown fox jumps over the dog"),
+                        (2, "a completely different sentence here")]),
+            "ninc_stale_t", n_buckets=2,
+        )
+        out = near_dedup_increment(
+            spark,
+            _df(spark, [(10, "the quick brown fox jumps over the dog"),
+                        (11, "unrelated fresh text with novel words")]),
+            "ninc_stale_t",
+        )
+        assert list(out.toPandas()["doc_id"]) == [11]
+    finally:
+        for t in ("inc_stale_t", "ninc_stale_t_sigs", "ninc_stale_t_bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
