@@ -67,13 +67,23 @@ _NUM_PERM_DEFAULT = 64
 def _ensure_parallel(df: DataFrame) -> DataFrame:
     """CPU-bound Arrow UDF stages need >= core-count partitions; a
     single small parquet file arrives as ONE partition and would
-    serialize the stage.  Unconditional round-robin repartition: the
-    shuffle is cheap at the scan (narrow columns), whereas probing
-    `df.rdd.getNumPartitions()` would force a plan->RDD conversion of
-    the whole subtree (and disable AQE on it) — measured 5-8x slower
-    on the composed dedup funnels.  Call this on SOURCE frames only;
-    join outputs already carry shuffle-partition parallelism."""
+    serialize the stage.  Round-robin repartition, decided from the
+    FILE COUNT of the source (round-7): `df.inputFiles()` is a
+    driver-side plan walk — unlike probing `df.rdd.getNumPartitions()`
+    it forces no plan->RDD conversion (that was measured 5-8x slower
+    on the composed dedup funnels) — so a many-file corpus whose scan
+    is already parallel skips the repartition outright instead of
+    paying a full payload shuffle, while few-file sources (and
+    non-file sources, where the count is unknowable) still fan out.
+    Call this on SOURCE frames only; join outputs already carry
+    shuffle-partition parallelism."""
     want = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= want:
+        return df
     return df.repartition(want)
 
 
@@ -873,7 +883,12 @@ def simhash_near_dups(
     ).select(id_col, "simhash", F.col("_bv.band_id"), F.col("_bv.band_val"))
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    # verify BEFORE the distinct (round-7): the popcount screen is a
+    # cheap scalar per candidate row, so running it ahead of the
+    # multi-band dedup shrinks the distinct's shuffle to the surviving
+    # pairs and narrows its rows to (id_a, id_b, hamming) — same
+    # result, filter commutes with distinct
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -883,18 +898,12 @@ def simhash_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("_sa"),
-            F.col("b.simhash").alias("_sb"),
-        )
-        .distinct()
-    )
-    return (
-        pairs.withColumn(
-            "hamming",
-            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -1351,6 +1360,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     stats: dict | None = None,
+    broadcast_nodes_max: int = 2_000_000,
 ) -> DataFrame:
     """(id, component) for every id appearing in `pairs`, where
     component = the MINIMUM id reachable through the pair graph — the
@@ -1378,10 +1388,15 @@ def connected_components(
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
+    # bidirect WITHOUT a distinct: the near-dup funnels emit distinct
+    # i<j pairs, so the union is duplicate-free by construction, and
+    # min-label propagation is insensitive to duplicate edges anyway —
+    # the old distinct() was a full 2|E|-row shuffle+dedup (7.3 s on a
+    # 9.9M-pair graph) buying nothing.  Callers feeding heavily
+    # duplicated edge lists should distinct upstream.
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
-        .distinct()
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -1390,14 +1405,30 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # size-ADAPTIVE join shape (round-7): each round joins the full
+    # bidirected edge list against the label table.  The checkpointed
+    # label side carries no size statistics, so the planner falls back
+    # to sort-merge and re-shuffles+sorts EVERY edge row EVERY round —
+    # ~5 s/round on a 19.7M-edge graph whose label table is 48.8k rows.
+    # The node count is known exactly here (one count over the
+    # checkpointed table), so broadcast the label side whenever it is
+    # provably small; a web-scale graph (nodes >> broadcast_nodes_max)
+    # keeps the shuffle join — the decision derives from the data, not
+    # from local-mode tuning.
+    n_nodes = labels.count()
+    small = n_nodes <= broadcast_nodes_max
+
+    def _bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
         nb_min = (
             edges.join(
-                labels.select(F.col("id").alias("dst"),
-                              F.col("component").alias("_nb")),
+                _bc(labels.select(F.col("id").alias("dst"),
+                                  F.col("component").alias("_nb"))),
                 "dst",
             )
             .groupBy("src")
@@ -1415,16 +1446,16 @@ def connected_components(
         )
         # pointer jump: component <- label(component); the lookup always
         # matches (a label is a node id) and label(x) <= x, so this can
-        # only tighten
-        labels = (
-            stepped.join(
-                stepped.select(F.col("id").alias("component"),
-                               F.col("component").alias("_c2")),
-                "component",
-            )
-            .select("id", F.col("_c2").alias("component"))
-            .localCheckpoint(eager=True)
-        )
+        # only tighten.  NOT broadcast: building a broadcast of stepped
+        # would execute its whole edge-join subtree a second time.
+        labels = stepped.join(
+            stepped.select(F.col("id").alias("component"),
+                           F.col("component").alias("_c2")),
+            "component",
+        ).select("id", F.col("_c2").alias("component"))
+        # lazy checkpoint: the convergence agg below is the action that
+        # materializes it — one job per round instead of two
+        labels = labels.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             break

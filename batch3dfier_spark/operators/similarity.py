@@ -142,13 +142,28 @@ def cosine_topk(
             V = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf["cand_vec"]])
             n = V.shape[0]
-            dot = np.zeros((n, m))
-            nv = np.zeros(n)
-            for j in range(dim):  # sequential fold == oracle's order
-                vj = V[:, j]
-                dot += vj[:, None] * Qm[None, :, j]
-                nv += vj * vj
-            cos = dot / (np.sqrt(nv)[:, None] * qn[None, :])
+            # tiled over rows with reused scratch (round-7): the flat
+            # loop allocated a fresh (n, m) temp per dim — ~1 GB of
+            # allocation churn per 10k-row batch; tiles keep the
+            # accumulator cache-resident.  Element-wise op order is
+            # unchanged, so every value stays the oracle's left fold.
+            cos = np.empty((n, m))
+            blk = max(1, 2_000_000 // max(m, 1))
+            for lo in range(0, n, blk):
+                hi = min(lo + blk, n)
+                Vb = V[lo:hi]
+                nb = hi - lo
+                dot = np.zeros((nb, m))
+                tmp = np.empty_like(dot)
+                nv = np.zeros(nb)
+                tv = np.empty(nb)
+                for j in range(dim):  # sequential fold == oracle order
+                    vj = Vb[:, j]
+                    np.multiply(vj[:, None], Qm[None, :, j], out=tmp)
+                    dot += tmp
+                    np.multiply(vj, vj, out=tv)
+                    nv += tv
+                cos[lo:hi] = dot / (np.sqrt(nv)[:, None] * qn[None, :])
             cos = np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
             outs = []
             for c in range(m):
@@ -171,9 +186,11 @@ def cosine_topk(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    scored = embeddings.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).cast("array<double>").alias("cand_vec"),
+    scored = _ensure_parallel(
+        embeddings.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).cast("array<double>").alias("cand_vec"),
+        )
     ).mapInPandas(
         score, schema="query_id bigint, cand_id bigint, cosine double"
     )
@@ -183,7 +200,7 @@ def cosine_topk(
 # single source of the 2^20 quantum AND the half-away rounding rule —
 # one copy of the cross-engine (Spark F.round == DuckDB ROUND)
 # determinism contract, shared with the embedding-dedup path
-from .dedup import QUANT
+from .dedup import QUANT, _ensure_parallel
 from .dedup import quantize_half_away as _quantize_half_away
 
 # splitmix64 finalizer constants (closed form shared with the SQL oracle)
@@ -263,7 +280,7 @@ def hyperplane_signatures(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return _ensure_parallel(df.select(id_col, vec_col)).mapInPandas(
         buckets, schema=f"{id_col} bigint, table_id int, bucket bigint"
     )
 
@@ -358,7 +375,7 @@ def _assign_centroids(df: DataFrame, centroids: np.ndarray,
                 {id_col: pdf[id_col], "cid": d.argmin(axis=1).astype("int32")}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return _ensure_parallel(df.select(id_col, vec_col)).mapInPandas(
         assign, schema=f"{id_col} bigint, cid int"
     )
 
@@ -436,7 +453,7 @@ def _assign_partial_sums(df: DataFrame, centroids: np.ndarray,
                 }
             )
 
-    return df.select(vec_col).mapInPandas(
+    return _ensure_parallel(df.select(vec_col)).mapInPandas(
         sums, schema="cid int, dim int, s bigint, cnt bigint"
     )
 
@@ -770,6 +787,9 @@ def quantize_int8(
                 "q": [row.tolist() for row in q],
             })
 
+    # deliberately NOT _ensure_parallel'd: this operator's contract is
+    # map-only / zero-shuffle (asserted in tests); the kernel is a
+    # cheap elementwise pass, so scan parallelism is not the bottleneck
     return src.mapInPandas(
         kern, schema=f"{id_col} bigint, scale double, q array<tinyint>"
     )

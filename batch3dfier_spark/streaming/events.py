@@ -277,7 +277,17 @@ def run_stream_to_df(
     partitioning should track state volume, not batch parallelism —
     at 32 session partitions a stream-stream join runs 64 store
     commits per batch for kilobytes of state.  None keeps the session
-    default; a production job with large keyed state raises it."""
+    default; a production job with large keyed state raises it.
+
+    Sink choice (round-7): append-mode drains land in a scratch
+    PARQUET file sink and are read back — the memory sink collects
+    every output row to the driver, which at a 1M-row enrichment drain
+    measured 15.5 s vs ~1 s for the same rows written by executors in
+    parallel (guide §5: the driver should do no data work).  The row
+    set is sink-independent, so batch-twin equality is unchanged.
+    complete/update modes keep the memory sink (the file sink is
+    append-only); their results are aggregate-sized by construction.
+    The parquet dir stays for the session (scratch cleanup reaps it)."""
     spark = stream_df.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     name = "s" + uuid.uuid4().hex[:12]
@@ -291,14 +301,23 @@ def run_stream_to_df(
         ckpt = fresh_scratch_dir("ckpt")
     else:
         ckpt = checkpoint_dir
+    out_dir = None
     try:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions",
                            str(state_partitions))
+        if output_mode == "append":
+            from ..scratch import fresh_scratch_dir
+
+            out_dir = fresh_scratch_dir("stream_out")
+            writer = (
+                stream_df.writeStream.format("parquet")
+                .option("path", out_dir)
+            )
+        else:
+            writer = stream_df.writeStream.format("memory").queryName(name)
         q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
+            writer.outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -311,4 +330,7 @@ def run_stream_to_df(
             import shutil
 
             shutil.rmtree(ckpt, ignore_errors=True)
+    if out_dir is not None:
+        # explicit schema: an all-late/empty drain leaves no data files
+        return spark.read.schema(stream_df.schema).parquet(out_dir)
     return spark.table(name)
