@@ -1399,10 +1399,15 @@ def connected_components(
                                  F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    # seed labels at min(id, min direct neighbor): the same single
+    # aggregation pass the old distinct() cost, but it bakes round 1's
+    # neighbor-min into the initialization (one fewer ~|E|-scan round
+    # to the fixpoint); label_0(v) <= v and is a node id, so the
+    # pointer-jump invariants hold unchanged
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("id", F.least(F.col("id"), F.col("_mn")).alias("component"))
         .localCheckpoint(eager=True)
     )
     # size-ADAPTIVE join shape (round-7): each round joins the full

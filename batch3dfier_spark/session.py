@@ -58,6 +58,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE-time broadcast decisions use RUNTIME sizes, so a higher
+        # threshold is safe at any scale (a genuinely big side never
+        # qualifies); 64m lets mid-size dimension/signature tables
+        # broadcast instead of re-shuffling multi-million-row streams
+        # (guide §3.1 — measured on the minhash est-screen joins)
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         # smaller scan splits -> several task waves per stage, so one
         # straggler row group cannot serialize a map stage (64-file
         # corpora otherwise arrive as exactly one wave at 32 cores)
