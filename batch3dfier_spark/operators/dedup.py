@@ -79,11 +79,26 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     shuffle-partition parallelism."""
     want = df.sparkSession.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_files = 0
-    if n_files >= want:
+        files = []
+    if len(files) >= want:
         return df
+    if files:
+        # tiny sources: below ~2 MB the Arrow kernel finishes faster
+        # than the shuffle + task fan-out costs (measured +0.2 s on the
+        # sf0.1 ANN queries), so keep the scan's own partitioning
+        import os
+        from urllib.parse import urlparse
+
+        try:
+            total = sum(
+                os.path.getsize(urlparse(f).path or f) for f in files
+            )
+            if total < (2 << 20):
+                return df
+        except OSError:
+            pass  # non-local paths: fall through to the repartition
     return df.repartition(want)
 
 
@@ -655,7 +670,12 @@ def verified_near_dups(
     expensive step runs only inside LSH buckets).  Shingle arrays are
     precomputed per DOC (doc_shingles) and joined onto the pairs; the
     per-pair work is one sorted-array intersection.  Returns
-    (id_a, id_b, jaccard) for pairs >= threshold."""
+    (id_a, id_b, jaccard) for pairs >= threshold.
+
+    Shingles all of `df` rather than semi-joining down to candidate
+    docs first: deriving the candidate-id set would re-execute the
+    whole (unpersisted) screen pipeline a second time — measured 2x
+    SLOWER than the extra shingling it saves (round-7)."""
     sh = doc_shingles(df, text_col, id_col, shingle_k)
     paired = (
         candidates.join(
