@@ -1485,6 +1485,13 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+        # NOTE (round-7): per-round edge CONTRACTION (re-keying edges
+        # to current labels, dropping loops) was prototyped here — it
+        # preserves the fixpoint exactly and would shrink later rounds
+        # on clique-heavy graphs, but the chained lazy checkpoints +
+        # per-round broadcasts made long-chain graphs pathologically
+        # slow (a 2000-node path went from seconds to minutes), so it
+        # was reverted; rounds re-scan the fixed edge list instead.
     if stats is not None:
         stats["rounds"] = rounds
     return labels
