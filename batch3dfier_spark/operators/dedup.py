@@ -647,10 +647,14 @@ def doc_shingles(
 
     def sh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            arrs = [
-                _shingle_hashes(t or "", shingle_k)
-                for t in pdf[text_col]
-            ]
+            # whole-batch vectorized shingling (round-7, same pass as
+            # minhash_signatures); distinct=True yields each doc's
+            # sorted distinct set — exactly what np.unique per doc
+            # produced before
+            h_u, counts = _shingle_hashes_batch(
+                pdf[text_col], shingle_k, distinct=True
+            )
+            arrs = np.split(h_u, np.cumsum(counts)[:-1]) if len(pdf) else []
             yield pd.DataFrame({id_col: pdf[id_col], "shingles": arrs})
 
     return _ensure_parallel(df.select(id_col, text_col)).mapInPandas(

@@ -77,9 +77,15 @@ def kmv_distinct(
     toks = F.when(
         F.length(t) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(t, r"\s+"))
+    # distinct tokens FIRST, sha-hash second (round-7): the 48-bit hash
+    # is a sha256 per row, so hashing after the (grp, token) distinct
+    # computes it once per distinct token instead of once per
+    # occurrence; the h-level distinct stays so a (rare) token-hash
+    # collision still collapses to one row exactly as before
     hashes = (
         df.select(F.col(group_col).alias("grp"),
                   F.explode(toks).alias("token"))
+        .distinct()
         .select("grp", _hash48(F.col("token"), seed).alias("h"))
         .distinct()
     )

@@ -109,11 +109,11 @@ def test_winnow_scale_shapes(spark):
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    # extraction is map-only: the ONLY Exchange is _ensure_parallel's
-    # round-robin source fan-out — no hash shuffle, no window
+    # extraction is map-only: at most one Exchange, and only
+    # _ensure_parallel's round-robin source fan-out (skipped entirely
+    # for tiny sources since round 7) — no hash shuffle, no window
     plan = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1
-    assert "roundrobin" in plan.lower()
+    assert plan.count("Exchange") <= 1
     assert "hashpartitioning" not in plan.lower()
     assert "Window" not in plan
     # hot-fingerprint cap: 300 identical docs share every fingerprint;
