@@ -1769,7 +1769,9 @@ def q_events_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark -> tumbling window agg -> AvailableNow drain to a memory
     sink (streaming/events.py).  Complete-mode output must equal the
     batch aggregation row-for-row — gated by the same SQL oracle."""
-    from ..streaming.events import hourly_counts, read_event_stream, run_stream_to_df
+    from ..streaming.events import (
+        auto_state_partitions, hourly_counts, read_event_stream,
+        run_stream_to_df)
 
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
     return run_stream_to_df(hourly_counts(stream), output_mode="complete")
@@ -1780,10 +1782,16 @@ def q_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user cumulative totals; the final emission per user equals the
     batch groupBy (the memory sink is reduced by max(n_events) so the
     oracle holds under any micro-batch split)."""
-    from ..streaming.events import read_event_stream, run_stream_to_df, user_running_totals
+    from ..streaming.events import (
+        auto_state_partitions, read_event_stream, run_stream_to_df,
+        user_running_totals)
 
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
-    sink = run_stream_to_df(user_running_totals(stream), output_mode="update")
+    sink = run_stream_to_df(
+        user_running_totals(stream), output_mode="update",
+        state_partitions=auto_state_partitions(
+            spark, f"{sf_dir}/events.parquet"),
+    )
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max("sum_value").alias("sum_value"),
@@ -1798,7 +1806,9 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..scratch import scratch_dir
-    from ..streaming.events import dedupe_events, read_event_stream, run_stream_to_df
+    from ..streaming.events import (
+        auto_state_partitions, dedupe_events, read_event_stream,
+        run_stream_to_df)
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     # digest-keyed: stable across processes (hash(str) is randomized
@@ -1810,7 +1820,11 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(src, link)
     stream = read_event_stream(spark, stage)
     deduped = dedupe_events(stream)
-    sink = run_stream_to_df(deduped, output_mode="append")
+    sink = run_stream_to_df(
+        deduped, output_mode="append",
+        state_partitions=auto_state_partitions(
+            spark, f"{sf_dir}/events.parquet"),
+    )
     return sink.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
@@ -3126,10 +3140,15 @@ def q_events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     and keep one state row per OPEN session per key, evicted by the
     watermark.)"""
     from ..streaming.events import (
-        read_event_stream, run_stream_to_df, session_windows)
+        auto_state_partitions, read_event_stream, run_stream_to_df,
+        session_windows)
 
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
-    return run_stream_to_df(session_windows(stream), output_mode="complete")
+    return run_stream_to_df(
+        session_windows(stream), output_mode="complete",
+        state_partitions=auto_state_partitions(
+            spark, f"{sf_dir}/events.parquet"),
+    )
 
 
 REGISTRY["events_session_stream"] = (
@@ -3288,7 +3307,8 @@ def q_events_attrib_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow drain.  Matches emit on arrival, so the drain equals
     the batch join row-for-row — gated by the same SQL oracle."""
     from ..streaming.events import (
-        attribution_join, read_event_stream, run_stream_to_df)
+        attribution_join, auto_state_partitions, read_event_stream,
+        run_stream_to_df)
 
     ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
     j = attribution_join(
@@ -3551,7 +3571,8 @@ def q_events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the append-mode AvailableNow drain equals the batch join
     row-for-row and shares its SQL oracle."""
     from ..streaming.events import (
-        enrich_events, read_event_stream, run_stream_to_df)
+        auto_state_partitions, enrich_events, read_event_stream,
+        run_stream_to_df)
 
     ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
     dim = _enrich_dim(spark, sf_dir)
