@@ -1770,8 +1770,7 @@ def q_events_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink (streaming/events.py).  Complete-mode output must equal the
     batch aggregation row-for-row — gated by the same SQL oracle."""
     from ..streaming.events import (
-        auto_state_partitions, hourly_counts, read_event_stream,
-        run_stream_to_df)
+        hourly_counts, read_event_stream, run_stream_to_df)
 
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
     return run_stream_to_df(hourly_counts(stream), output_mode="complete")
@@ -3307,8 +3306,7 @@ def q_events_attrib_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow drain.  Matches emit on arrival, so the drain equals
     the batch join row-for-row — gated by the same SQL oracle."""
     from ..streaming.events import (
-        attribution_join, auto_state_partitions, read_event_stream,
-        run_stream_to_df)
+        attribution_join, read_event_stream, run_stream_to_df)
 
     ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
     j = attribution_join(
@@ -3571,8 +3569,7 @@ def q_events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the append-mode AvailableNow drain equals the batch join
     row-for-row and shares its SQL oracle."""
     from ..streaming.events import (
-        auto_state_partitions, enrich_events, read_event_stream,
-        run_stream_to_df)
+        enrich_events, read_event_stream, run_stream_to_df)
 
     ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
     dim = _enrich_dim(spark, sf_dir)
